@@ -1,0 +1,376 @@
+"""Spherical-harmonic transforms and spectral operators, TPU-first.
+
+This is the TPU-native replacement for the reference's transform machinery
+(`src/atmos_spectral/tools/transforms.F90`, `spherical_fourier.F90`, `spherical.F90`,
+`grid_fourier.F90`, `src/shared/fft/`). Design differences from the Fortran:
+
+* The Legendre analysis/synthesis are dense batched einsums over precomputed
+  Pbar / Pbar*w tables -> they run on the MXU. The reference's (m,n,j,k) triple loops
+  (spherical_fourier.F90:177-339) are the same contractions expressed scalar-wise.
+* Longitude FFTs are `jnp.fft.rfft/irfft` (XLA), replacing Temperton FFT99.
+* There is no explicit domain decomposition or transpose here: the same code runs
+  single-device or under jit with sharded inputs, in which case XLA inserts the
+  lat<->m all-to-alls that correspond to the reference's `transpose_fourier`
+  ring exchanges (transforms.F90:970-1056).  See isca_tpu.parallel.
+* Spectral storage is a dense complex array indexed [..., m, n] with m = 0..M
+  (num_fourier) and *total* wavenumber n = 0..N+1 (num_spherical). Entries with
+  n < m are structurally zero. The extra n = N+1 row exists, as in the reference,
+  so that wind synthesis from (vor, div) is exact (the n+-1 recurrence overflows
+  one row past the triangular truncation).
+
+Normalization: see isca_tpu.spectral.gauss. Global area mean of a field equals the
+real part of its (m=0, n=0) coefficient.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gauss
+
+# Standard triangular truncations -> (nlon, nlat), as in the reference's RESOLUTIONS
+# table (src/extra/python/isca/experiment.py:29-56).
+RESOLUTIONS: dict[str, tuple[int, int, int]] = {
+    "T21": (21, 64, 32),
+    "T42": (42, 128, 64),
+    "T85": (85, 256, 128),
+    "T170": (170, 512, 256),
+    "T213": (213, 640, 320),
+}
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "wts",
+        "sinlat",
+        "coslat",
+        "lats",
+        "lons",
+        "P",
+        "Pw",
+        "eps",
+        "mvec",
+        "nn1",
+        "inv_nn1",
+        "triangle",
+        "eigenvalues",
+        "uv_im",
+        "uv_cm",
+        "uv_cp",
+        "vd_im",
+        "vd_dn",
+        "vd_up",
+        "cdl_up",
+        "cdl_dn",
+        "inv_eig",
+    ],
+    meta_fields=["truncation", "num_fourier", "num_spherical", "nlon", "nlat", "radius"],
+)
+@dataclasses.dataclass(frozen=True)
+class SphericalTransforms:
+    """Precomputed transform tables for one resolution, as a pytree of jnp arrays."""
+
+    truncation: int       # T (e.g. 42)
+    num_fourier: int      # M = T  (zonal wavenumbers 0..M)
+    num_spherical: int    # N+1 rows of total wavenumber retained for winds
+    nlon: int
+    nlat: int
+    radius: float
+
+    wts: jax.Array        # (nlat,) Gaussian weights, sum = 2
+    sinlat: jax.Array     # (nlat,) mu, ascending (south -> north)
+    coslat: jax.Array     # (nlat,)
+    lats: jax.Array       # (nlat,) radians
+    lons: jax.Array       # (nlon,) radians
+    P: jax.Array          # (nlat, M+1, N+2) Pbar_n^m(mu_j)
+    Pw: jax.Array         # (nlat, M+1, N+2) Pbar * w_j / 2 (analysis table)
+    eps: jax.Array        # (M+1, N+3) recurrence coefficients
+    mvec: jax.Array       # (M+1,) float m
+    nn1: jax.Array        # (N+2,) float n(n+1)
+    inv_nn1: jax.Array    # (N+2,) 1/(n(n+1)), 0 at n=0
+    triangle: jax.Array   # (M+1, N+2) mask: 1 where m <= n <= T (prognostic triangle)
+    eigenvalues: jax.Array  # (N+2,) -n(n+1)/a^2 (Laplacian eigenvalues)
+    # precomputed operator coefficient tables (host-built, see make_transforms):
+    uv_im: jax.Array      # (M+1, N+2)  m/(n(n+1)) for wind synthesis (times -i)
+    uv_cm: jax.Array      # (M+1, N+2) -eps(m,n)/n            (times x_{n-1})
+    uv_cp: jax.Array      # (M+1, N+2)  eps(m,n+1)/(n+1)      (times x_{n+1})
+    vd_im: jax.Array      # (M+1, N+2)  m                     (times i)
+    vd_dn: jax.Array      # (M+1, N+2)  n*eps(m,n+1)          (times x_{n+1})
+    vd_up: jax.Array      # (M+1, N+2)  (n+1)*eps(m,n)        (times x_{n-1})
+    cdl_up: jax.Array     # (M+1, N+2) -(n-1)*eps(m,n)        (times x_{n-1})
+    cdl_dn: jax.Array     # (M+1, N+2)  (n+2)*eps(m,n+1)      (times x_{n+1})
+    inv_eig: jax.Array    # (N+2,) -a^2/(n(n+1)), 0 at n=0 (inverse Laplacian)
+
+    @property
+    def spec_shape(self) -> tuple[int, int]:
+        return (self.num_fourier + 1, self.num_spherical + 1)
+
+    @property
+    def grid_shape(self) -> tuple[int, int]:
+        return (self.nlat, self.nlon)
+
+    @property
+    def cdtype(self):
+        return jnp.complex64 if self.P.dtype == jnp.float32 else jnp.complex128
+
+
+def make_transforms(
+    truncation: int | str,
+    nlon: int | None = None,
+    nlat: int | None = None,
+    radius: float = 6371.0e3,
+    dtype=jnp.float32,
+) -> SphericalTransforms:
+    """Build transform tables for a triangular truncation.
+
+    Default grid sizes follow the reference's quadratic-dealiasing table
+    (nlon >= 3T+1, nlat = nlon/2).
+    """
+    if isinstance(truncation, str):
+        truncation, d_nlon, d_nlat = RESOLUTIONS[truncation]
+        nlon = nlon or d_nlon
+        nlat = nlat or d_nlat
+    if nlon is None:
+        nlon = int(2 ** np.ceil(np.log2(3 * truncation + 1)))
+    if nlat is None:
+        nlat = nlon // 2
+
+    M = truncation
+    N = truncation + 1  # one extra total-wavenumber row for exact wind synthesis
+
+    mu, w = gauss.gauss_legendre(nlat)
+    P = gauss.legendre_table(mu, M, N)
+    eps = gauss.epsilon_table(M, N + 1)  # (M+1, N+3)
+
+    nvals = np.arange(N + 1, dtype=np.float64)
+    nn1 = nvals * (nvals + 1.0)
+    inv_nn1 = np.where(nn1 > 0, 1.0 / np.where(nn1 == 0, 1.0, nn1), 0.0)
+
+    mgrid = np.arange(M + 1)[:, None]
+    ngrid = np.arange(N + 1)[None, :]
+    triangle = ((ngrid >= mgrid) & (ngrid <= truncation)).astype(np.float64)
+
+    # operator coefficient tables (all float64 on host, cast once)
+    mv = np.arange(M + 1, dtype=np.float64)[:, None]
+    nf = nvals[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_n = np.where(nf > 0, 1.0 / np.where(nf == 0, 1.0, nf), 0.0)
+    inv_np1 = 1.0 / (nf + 1.0)
+    eps_n = eps[:, : N + 1]
+    eps_np1 = eps[:, 1 : N + 2]
+    uv_im = mv * inv_nn1[None, :]
+    uv_cm = -eps_n * inv_n
+    uv_cp = eps_np1 * inv_np1
+    vd_im = np.broadcast_to(mv, (M + 1, N + 1)).copy()
+    vd_dn = nf * eps_np1
+    vd_up = (nf + 1.0) * eps_n
+    cdl_up = -(nf - 1.0) * eps_n
+    cdl_dn = (nf + 2.0) * eps_np1
+    inv_eig = np.where(nn1 > 0, -(radius * radius) * inv_nn1, 0.0)
+
+    f = lambda x: jnp.asarray(x, dtype=dtype)
+    return SphericalTransforms(
+        truncation=truncation,
+        num_fourier=M,
+        num_spherical=N,
+        nlon=nlon,
+        nlat=nlat,
+        radius=float(radius),
+        wts=f(w),
+        sinlat=f(mu),
+        coslat=f(np.sqrt(1.0 - mu * mu)),
+        lats=f(np.arcsin(mu)),
+        lons=f(2.0 * np.pi * np.arange(nlon) / nlon),
+        P=f(P),
+        Pw=f(P * (w[:, None, None] / 2.0)),
+        eps=f(eps),
+        mvec=f(np.arange(M + 1, dtype=np.float64)),
+        nn1=f(nn1),
+        inv_nn1=f(inv_nn1),
+        triangle=f(triangle),
+        eigenvalues=f(-nn1 / (radius * radius)),
+        uv_im=f(uv_im),
+        uv_cm=f(uv_cm),
+        uv_cp=f(uv_cp),
+        vd_im=f(vd_im),
+        vd_dn=f(vd_dn),
+        vd_up=f(vd_up),
+        cdl_up=f(cdl_up),
+        cdl_dn=f(cdl_dn),
+        inv_eig=f(inv_eig),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fourier (longitude) stage.  Grid arrays are (..., lat, lon); Fourier arrays
+# are complex (..., lat, m) with m = 0..M.
+# ---------------------------------------------------------------------------
+
+def grid_to_fourier(T: SphericalTransforms, g: jax.Array) -> jax.Array:
+    """rfft in longitude, normalized so F_0 is the zonal mean; truncated to m <= M."""
+    F = jnp.fft.rfft(g, axis=-1) / T.nlon
+    return F[..., : T.num_fourier + 1].astype(T.cdtype)
+
+
+def fourier_to_grid(T: SphericalTransforms, F: jax.Array) -> jax.Array:
+    """Inverse of grid_to_fourier (zero-padding m > M, i.e. spectral interpolation)."""
+    nfreq = T.nlon // 2 + 1
+    pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - F.shape[-1])]
+    Ffull = jnp.pad(F, pad)
+    return jnp.fft.irfft(Ffull * T.nlon, n=T.nlon, axis=-1).astype(T.P.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Legendre stage (MXU einsums).  Fourier (..., lat, m) <-> spectral (..., m, n).
+# ---------------------------------------------------------------------------
+
+def fourier_to_spec(T: SphericalTransforms, F: jax.Array) -> jax.Array:
+    """Legendre analysis: s_mn = (1/2) sum_j F(j,m) Pbar_mn(j) w_j."""
+    return jnp.einsum("jmn,...jm->...mn", T.Pw.astype(T.cdtype), F)
+
+
+def spec_to_fourier(T: SphericalTransforms, s: jax.Array) -> jax.Array:
+    """Legendre synthesis: F(j,m) = sum_n s_mn Pbar_mn(j)."""
+    return jnp.einsum("jmn,...mn->...jm", T.P.astype(T.cdtype), s)
+
+
+def grid_to_spec(T: SphericalTransforms, g: jax.Array, truncate: bool = True) -> jax.Array:
+    """Full forward transform (reference: trans_grid_to_spherical, transforms.F90:462)."""
+    s = fourier_to_spec(T, grid_to_fourier(T, g))
+    return triangular_truncate(T, s) if truncate else s
+
+def spec_to_grid(T: SphericalTransforms, s: jax.Array) -> jax.Array:
+    """Full inverse transform (reference: trans_spherical_to_grid, transforms.F90:379)."""
+    return fourier_to_grid(T, spec_to_fourier(T, s))
+
+
+# ---------------------------------------------------------------------------
+# Spectral-space operators (reference: spherical.F90).
+# ---------------------------------------------------------------------------
+
+def triangular_truncate(T: SphericalTransforms, s: jax.Array) -> jax.Array:
+    """Zero modes outside the triangle m <= n <= T (spherical.F90:564-600)."""
+    return s * T.triangle.astype(s.dtype)
+
+
+def laplacian(T: SphericalTransforms, s: jax.Array, power: int = 1) -> jax.Array:
+    """(nabla^2)^power: diagonal multiply by (-n(n+1)/a^2)^power."""
+    return s * (T.eigenvalues.astype(s.real.dtype) ** power).astype(s.dtype)
+
+
+def inverse_laplacian(T: SphericalTransforms, s: jax.Array) -> jax.Array:
+    """nabla^-2 (zero at n=0): used for streamfunction from vorticity."""
+    return s * T.inv_eig.astype(s.dtype)
+
+
+def ddx_spec(T: SphericalTransforms, s: jax.Array) -> jax.Array:
+    """d/dlambda in spectral space: multiply by i*m (spherical.F90 coef_dx)."""
+    return s * (T.mvec[:, None].astype(s.dtype) * 1j)
+
+
+def _shift_down(s: jax.Array) -> jax.Array:
+    """result_n = s_{n+1} (zero at top)."""
+    return jnp.concatenate([s[..., 1:], jnp.zeros_like(s[..., :1])], axis=-1)
+
+
+def _shift_up(s: jax.Array) -> jax.Array:
+    """result_n = s_{n-1} (zero at bottom)."""
+    return jnp.concatenate([jnp.zeros_like(s[..., :1]), s[..., :-1]], axis=-1)
+
+
+def cos_dlat_coeffs(T: SphericalTransforms, s: jax.Array) -> jax.Array:
+    """Spectral coefficients g such that synth(g) = cos(lat) * d(synth(s))/d(lat).
+
+    Uses (1-mu^2) dPbar_n/dmu = -n eps_{m,n+1} Pbar_{n+1} + (n+1) eps_{m,n} Pbar_{n-1}:
+      g_n = -(n-1) eps_{m,n} s_{n-1} + (n+2) eps_{m,n+1} s_{n+1}
+    """
+    return T.cdl_up.astype(s.dtype) * _shift_up(s) + T.cdl_dn.astype(s.dtype) * _shift_down(s)
+
+
+# ---------------------------------------------------------------------------
+# Wind <-> (vorticity, divergence)  (reference: spherical.F90:409-484 +
+# transforms.F90:681-783).
+# ---------------------------------------------------------------------------
+
+def uv_grid_from_vor_div(
+    T: SphericalTransforms, vors: jax.Array, divs: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Grid winds (u, v) from spectral vorticity/divergence.
+
+      U_n = a [ -i m D_n /(n(n+1)) - eps_mn zeta_{n-1}/n + eps_{m,n+1} zeta_{n+1}/(n+1) ]
+      V_n = a [ -i m zeta_n /(n(n+1)) + eps_mn D_{n-1}/n - eps_{m,n+1} D_{n+1}/(n+1) ]
+
+    then u = synth(U)/cos(lat), v = synth(V)/cos(lat). Uses the n = T+1 overflow row,
+    making this exact for triangularly-truncated (vor, div).
+    """
+    cd = vors.dtype
+    im_inv = T.uv_im.astype(cd) * (-1j)
+    cm = T.uv_cm.astype(cd)      # multiplies x_{n-1}
+    cp = T.uv_cp.astype(cd)      # multiplies x_{n+1}
+
+    U = T.radius * (im_inv * divs + cm * _shift_up(vors) + cp * _shift_down(vors))
+    V = T.radius * (im_inv * vors - cm * _shift_up(divs) - cp * _shift_down(divs))
+    coslat = T.coslat[:, None]
+    u = spec_to_grid(T, U) / coslat
+    v = spec_to_grid(T, V) / coslat
+    return u, v
+
+
+def vor_div_from_uv_grid(
+    T: SphericalTransforms, u: jax.Array, v: jax.Array, truncate: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """Spectral (vorticity, divergence) from grid winds.
+
+    With a_n = analysis(u/cos), b_n = analysis(v/cos):
+      zeta_n = (1/a)[ i m b_n - n eps_{m,n+1} a_{n+1} + (n+1) eps_mn a_{n-1} ]
+      D_n    = (1/a)[ i m a_n + n eps_{m,n+1} b_{n+1} - (n+1) eps_mn b_{n-1} ]
+
+    (reference divides the grid fields by cos^2 and transforms u*cos: identical.)
+    """
+    coslat = T.coslat[:, None]
+    A = grid_to_spec(T, u / coslat, truncate=False)
+    B = grid_to_spec(T, v / coslat, truncate=False)
+
+    im = T.vd_im.astype(A.dtype) * 1j
+    c_dn = T.vd_dn.astype(A.dtype)        # multiplies x_{n+1}
+    c_up = T.vd_up.astype(A.dtype)  # multiplies x_{n-1}
+
+    vor = (im * B - c_dn * _shift_down(A) + c_up * _shift_up(A)) / T.radius
+    div = (im * A + c_dn * _shift_down(B) - c_up * _shift_up(B)) / T.radius
+    if truncate:
+        vor = triangular_truncate(T, vor)
+        div = triangular_truncate(T, div)
+    return vor, div
+
+
+def horizontal_advection(
+    T: SphericalTransforms, f_spec: jax.Array, u: jax.Array, v: jax.Array
+) -> jax.Array:
+    """-(V . grad f) on the grid from spectral f (transforms.F90:786-831).
+
+    Advective form via spectral derivatives:
+      dxf = synth(i m f)        ( = cos(lat) * (1/(a cos)) df/dlambda * a )
+      dyf = synth(H f)          ( = cos(lat) * df/dlat )
+      adv = -(u dxf + v dyf) / (a cos(lat))
+    """
+    dxf = spec_to_grid(T, ddx_spec(T, f_spec))
+    dyf = spec_to_grid(T, cos_dlat_coeffs(T, f_spec))
+    coslat = T.coslat[:, None]
+    return -(u * dxf + v * dyf) / (T.radius * coslat)
+
+
+def area_weighted_mean(T: SphericalTransforms, g: jax.Array) -> jax.Array:
+    """Area-weighted global mean over the trailing (lat, lon) axes."""
+    w = (T.wts / 2.0).astype(g.dtype)
+    return jnp.einsum("...jk,j->...", g, w) / T.nlon
+
+
+def coriolis_grid(T: SphericalTransforms, omega: float) -> jax.Array:
+    """Planetary vorticity f = 2*Omega*sin(lat) on the grid, shape (nlat, nlon)."""
+    return jnp.broadcast_to(2.0 * omega * T.sinlat[:, None], (T.nlat, T.nlon))
