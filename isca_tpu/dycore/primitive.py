@@ -1,0 +1,424 @@
+"""Primitive-equation spectral dynamical core (hybrid sigma-pressure, semi-implicit
+RAW-filtered leapfrog).
+
+Reference: src/atmos_spectral/model/spectral_dynamics.F90 (step at :780-1034,
+four_in_one at :1038-1112, corrections at :1213-1340) — reimplemented as a pure
+functional JAX step over a pytree state. Verified design decisions:
+
+* Grid fields carried at two time levels are the values synthesized when each
+  level was `future` (plus global fixers); the Robert filter afterwards modifies
+  only the SPECTRAL current. This lag is part of the reference trajectory.
+* Ordering within one step: physics tendencies (computed by the caller at the
+  `previous` time level) -> four_in_one/pressure-gradient/geopotential ->
+  advection -> spectral tendencies -> semi-implicit correction -> hyperdiffusion
+  -> leapfrog part A -> synthesize future grid fields -> temperature validity
+  guard -> mass/energy(/water) fixers (touch future grid AND spectral fields) ->
+  leapfrog part B (sees the corrected future).
+* First call is a forward step (prev == curr, delta_t = dt); afterwards 2*dt.
+
+Array layout: grid (lev, lat, lon) with lev index 0 = top; spectral (lev, m, n)
+complex with total-wavenumber n. Vertical-column helpers operate level-last;
+thin moveaxis wrappers adapt (XLA fuses these transposes into neighbors).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isca_tpu.constants import Constants, EARTH
+from isca_tpu.dycore import press_geopot as pg
+from isca_tpu.dycore import vert_advection as va
+from isca_tpu.dycore import vert_coordinate as vc
+from isca_tpu.dycore.damping import apply_damping, apply_top_sponge, make_damping
+from isca_tpu.dycore.implicit import build_implicit, implicit_correction
+from isca_tpu.dycore.time_integration import TwoLevel, leapfrog_part_a, leapfrog_part_b
+from isca_tpu.spectral import transforms as tr
+
+
+def _lev_last(x):
+    return jnp.moveaxis(x, 0, -1)
+
+
+def _lev_first(x):
+    return jnp.moveaxis(x, -1, 0)
+
+
+class GridTendencies(NamedTuple):
+    """Physics tendencies on the grid (level-first). Any entry may be None."""
+
+    du: Any = None
+    dv: Any = None
+    dt: Any = None
+    dtracers: Any = None   # dict[str, array]
+
+
+@dataclasses.dataclass(frozen=True)
+class PrimitiveConfig:
+    resolution: str | int = "T42"
+    num_levels: int = 25
+    dt: float = 600.0
+    vert_coord_option: str = "even_sigma"
+    vert_coord_kwargs: tuple = ()          # dict items, e.g. (('scale_heights', 6.0), ...)
+    robert_coeff: float = 0.04
+    raw_filter_coeff: float = 1.0
+    alpha_implicit: float = 0.5
+    use_implicit: bool = True
+    reference_temperature_implicit: float = 300.0
+    reference_sea_level_press: float = 101325.0
+    damping_option: str = "resolution_dependent"
+    damping_order: int = 2
+    damping_coeff: float = 1.15740741e-4
+    damping_order_vor: int | None = None
+    damping_order_div: int | None = None
+    damping_coeff_vor: float | None = None
+    damping_coeff_div: float | None = None
+    cutoff_wn: int = 15
+    eddy_sponge_coeff: float = 0.0
+    zmu_sponge_coeff: float = 0.0
+    zmv_sponge_coeff: float = 0.0
+    do_mass_correction: bool = True
+    do_energy_correction: bool = True
+    do_water_correction: bool = False      # True only for moist models
+    water_correction_limit: float = 0.0    # Pa; correct only where p >= limit
+    valid_range_t: tuple[float, float] = (100.0, 500.0)
+    initial_temperature: float = 264.0
+    uv_vert_advect_scheme: str = va.SECOND_CENTERED
+    t_vert_advect_scheme: str = va.SECOND_CENTERED
+    use_virtual_temperature: bool = False
+    constants: Constants = EARTH
+    dtype: Any = jnp.float32
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["vors", "divs", "ts", "lnps", "ug", "vg", "tg", "psg",
+                 "vorg", "divg", "tracers", "spec_tracers", "wg_full"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class PrimitiveState:
+    # spectral prognostics (two time levels)
+    vors: TwoLevel    # (L, m, n) complex
+    divs: TwoLevel
+    ts: TwoLevel
+    lnps: TwoLevel    # (m, n)
+    # grid mirrors
+    ug: TwoLevel      # (L, lat, lon)
+    vg: TwoLevel
+    tg: TwoLevel
+    psg: TwoLevel     # (lat, lon)
+    vorg: TwoLevel
+    divg: TwoLevel
+    tracers: dict        # name -> TwoLevel grid (L, lat, lon)
+    spec_tracers: dict   # name -> TwoLevel spectral (only for spectral tracers)
+    wg_full: jax.Array   # omega diagnostic (L, lat, lon)
+
+
+class PrimitiveCore:
+    """Static tables + configuration; all step methods are pure and jittable."""
+
+    def __init__(self, config: PrimitiveConfig, tracer_names: tuple = ()):
+        self.config = c = config
+        self.C = c.constants
+        self.T = tr.make_transforms(c.resolution, radius=self.C.radius, dtype=c.dtype)
+        self.pk_np, self.bk_np = vc.compute_vert_coord(
+            c.vert_coord_option, c.num_levels, **dict(c.vert_coord_kwargs)
+        )
+        if c.vert_coord_option != "input":
+            # pk scale: vert_coordinate returns pure-sigma a=0 for sigma options
+            pass
+        self.pk = jnp.asarray(self.pk_np, c.dtype)
+        self.bk = jnp.asarray(self.bk_np, c.dtype)
+        self.dpk = jnp.asarray(np.diff(self.pk_np), c.dtype)
+        self.dbk = jnp.asarray(np.diff(self.bk_np), c.dtype)
+        self.top_is_zero = bool(self.pk_np[0] == 0.0 and self.bk_np[0] == 0.0)
+        self.tracer_names = tuple(tracer_names)
+
+        self.damping = make_damping(
+            self.T,
+            damping_coeff=c.damping_coeff,
+            damping_order=c.damping_order,
+            damping_option=c.damping_option,
+            cutoff_wn=c.cutoff_wn,
+            eddy_sponge_coeff=c.eddy_sponge_coeff,
+            zmu_sponge_coeff=c.zmu_sponge_coeff,
+            zmv_sponge_coeff=c.zmv_sponge_coeff,
+        )
+        self.damping_vor = self.damping_div = self.damping
+        if c.damping_coeff_vor is not None or c.damping_order_vor is not None:
+            self.damping_vor = make_damping(
+                self.T,
+                damping_coeff=c.damping_coeff_vor or c.damping_coeff,
+                damping_order=c.damping_order_vor or c.damping_order,
+                damping_option=c.damping_option, cutoff_wn=c.cutoff_wn,
+                eddy_sponge_coeff=c.eddy_sponge_coeff,
+                zmu_sponge_coeff=c.zmu_sponge_coeff, zmv_sponge_coeff=c.zmv_sponge_coeff,
+            )
+        if c.damping_coeff_div is not None or c.damping_order_div is not None:
+            self.damping_div = make_damping(
+                self.T,
+                damping_coeff=c.damping_coeff_div or c.damping_coeff,
+                damping_order=c.damping_order_div or c.damping_order,
+                damping_option=c.damping_option, cutoff_wn=c.cutoff_wn,
+                eddy_sponge_coeff=c.eddy_sponge_coeff,
+                zmu_sponge_coeff=c.zmu_sponge_coeff, zmv_sponge_coeff=c.zmv_sponge_coeff,
+            )
+
+        self.implicit = build_implicit(
+            self.pk_np, self.bk_np,
+            num_spherical=self.T.num_spherical,
+            radius=self.C.radius,
+            delta_ts=(c.dt, 2.0 * c.dt),
+            t_ref=c.reference_temperature_implicit,
+            ps_ref=c.reference_sea_level_press,
+            alpha=c.alpha_implicit,
+            rdgas=self.C.rdgas, cp_air=self.C.cp_air,
+            dtype=c.dtype,
+        ) if c.use_implicit else None
+
+        self.coriolis = tr.coriolis_grid(self.T, self.C.omega).astype(c.dtype)
+
+    # ------------------------------------------------------------------
+    def pressure_variables(self, psg):
+        """(p_half, ln_p_half, p_full, ln_p_full), level-first."""
+        ph, lph, pf, lpf = pg.pressure_variables(jnp, self.pk, self.bk, psg, self.top_is_zero)
+        return _lev_first(ph), _lev_first(lph), _lev_first(pf), _lev_first(lpf)
+
+    def mass_weighted_integral(self, field, psg):
+        """Area-averaged mass-weighted vertical integral (kg/m^2 x field units)."""
+        ps = psg[None, :, :]
+        dp = self.dpk[:, None, None] + self.dbk[:, None, None] * ps
+        return tr.area_weighted_mean(self.T, jnp.sum(field * dp, axis=0)) / self.C.grav
+
+    # ------------------------------------------------------------------
+    def cold_start(self, surf_geopotential=None) -> PrimitiveState:
+        """Isothermal state of rest with tiny vorticity seeds (A.10)."""
+        c, T = self.config, self.T
+        L = c.num_levels
+        if surf_geopotential is None:
+            surf_geopotential = jnp.zeros(T.grid_shape, c.dtype)
+        self.surf_geopotential = surf_geopotential
+
+        pert = np.zeros((L, T.num_fourier + 1, T.num_spherical + 1), dtype=np.complex128)
+        # FMS seeds modes (m, n_idx) = (1,3),(5,3),(1,2),(5,2) -> total n = m + n_idx
+        for (m, nidx) in ((1, 3), (5, 3), (1, 2), (5, 2)):
+            pert[L - 3 :, m, m + nidx] = 1.0e-7
+
+        @jax.jit
+        def _init(surf_geopot, pert):
+            ln_psg = jnp.log(c.reference_sea_level_press) - surf_geopot / (
+                self.C.rdgas * c.initial_temperature
+            )
+            tg = jnp.full((L,) + T.grid_shape, c.initial_temperature, c.dtype)
+            vors = tr.triangular_truncate(T, pert)
+            divs = jnp.zeros_like(vors)
+            ug, vg = tr.uv_grid_from_vor_div(T, vors, divs)
+            # band-limit T and ln ps through one round trip
+            ts = tr.grid_to_spec(T, tg)
+            tg = tr.spec_to_grid(T, ts)
+            lnps = tr.grid_to_spec(T, ln_psg)
+            ln_psg = tr.spec_to_grid(T, lnps)
+            psg = jnp.exp(ln_psg)
+            vors, divs = tr.vor_div_from_uv_grid(T, ug, vg)
+            ug, vg = tr.uv_grid_from_vor_div(T, vors, divs)
+            vorg = tr.spec_to_grid(T, vors)
+            divg = tr.spec_to_grid(T, divs)
+            return vors, divs, ts, lnps, ug, vg, tg, psg, vorg, divg
+
+        vors, divs, ts, lnps, ug, vg, tg, psg, vorg, divg = _init(
+            jnp.asarray(surf_geopotential, c.dtype),
+            jnp.asarray(pert, jnp.complex64 if c.dtype == jnp.float32 else jnp.complex128),
+        )
+        two = lambda x: TwoLevel(x, x)
+        zeros_tr = {
+            name: two(jnp.zeros((L,) + T.grid_shape, c.dtype)) for name in self.tracer_names
+        }
+        return PrimitiveState(
+            vors=two(vors), divs=two(divs), ts=two(ts), lnps=two(lnps),
+            ug=two(ug), vg=two(vg), tg=two(tg), psg=two(psg),
+            vorg=two(vorg), divg=two(divg),
+            tracers=zeros_tr, spec_tracers={},
+            wg_full=jnp.zeros((L,) + T.grid_shape, c.dtype),
+        )
+
+    # ------------------------------------------------------------------
+    def _four_in_one(self, divg, u, v, virt_t, psg, ln_p_half, ln_p_full, p_full,
+                     dx_psg, dy_psg):
+        """PGF terms, divergence integral, vertical mass flux, omega, energy
+        conversion (spectral_dynamics.F90:1038-1112, Simmons-Burridge)."""
+        C = self.C
+        kappa = C.rdgas / C.cp_air
+        ps = psg[None]
+        dp = self.dpk[:, None, None] + self.dbk[:, None, None] * ps
+        dlog_1 = ln_p_half[1:] - ln_p_full
+        dlog_2 = ln_p_full - ln_p_half[:-1]
+        dlog_3 = ln_p_half[1:] - ln_p_half[:-1]
+        x1 = (self.bk[1:, None, None] * dlog_1 + self.bk[:-1, None, None] * dlog_2) / dp
+        x2 = x1 * dx_psg[None]
+        x3 = x1 * dy_psg[None]
+        du_pgf = -C.rdgas * virt_t * x2
+        dv_pgf = -C.rdgas * virt_t * x3
+
+        dmean = divg * dp + self.dbk[:, None, None] * (u * dx_psg[None] + v * dy_psg[None])
+        cum = jnp.cumsum(dmean, axis=0)
+        cum_before = jnp.concatenate([jnp.zeros_like(cum[:1]), cum[:-1]], axis=0)
+        x4 = (cum_before * dlog_3 + dmean * dlog_1) / dp
+        x5 = x4 - u * x2 - v * x3
+        dt_t_econv = -kappa * virt_t * x5
+        wg_full = -x5 * p_full
+        dmean_tot = cum[-1]
+        dps_tend = -dmean_tot
+
+        # half-level mass flux: wg[k] = bk[k]*dmean_tot - cum[k-1], zero at ends
+        wg_mid = self.bk[1:-1, None, None] * dmean_tot[None] - cum[:-1]
+        zero = jnp.zeros_like(dmean_tot[None])
+        wg = jnp.concatenate([zero, wg_mid, zero], axis=0)  # (L+1, lat, lon)
+        return du_pgf, dv_pgf, dt_t_econv, dps_tend, wg, wg_full
+
+    # ------------------------------------------------------------------
+    def dynamics_step(
+        self,
+        state: PrimitiveState,
+        phys: GridTendencies,
+        surf_geopotential,
+        first: bool = False,
+    ) -> PrimitiveState:
+        """One full semi-implicit leapfrog step. Pure, jittable (first is static)."""
+        c, T, C = self.config, self.T, self.C
+        delta_t = c.dt if first else 2.0 * c.dt
+        zero3 = jnp.zeros((c.num_levels,) + T.grid_shape, c.dtype)
+        dt_ug = phys.du if phys.du is not None else zero3
+        dt_vg = phys.dv if phys.dv is not None else zero3
+        dt_tg = phys.dt if phys.dt is not None else zero3
+
+        # ---- global fixer reference values (initialize_corrections) ----
+        if c.do_mass_correction:
+            mean_ps_prev = tr.area_weighted_mean(T, state.psg.prev)
+        if c.do_energy_correction:
+            energy_prev = self.mass_weighted_integral(
+                0.5 * ((state.ug.prev + delta_t * dt_ug) ** 2
+                       + (state.vg.prev + delta_t * dt_vg) ** 2)
+                + C.cp_air * (state.tg.prev + delta_t * dt_tg),
+                state.psg.prev,
+            )
+
+        # ---- pressure variables and gradients at `current` ----
+        p_half, ln_p_half, p_full, ln_p_full = self.pressure_variables(state.psg.curr)
+        dx_lnps = tr.spec_to_grid(T, tr.ddx_spec(T, state.lnps.curr))
+        dy_lnps = tr.spec_to_grid(T, tr.cos_dlat_coeffs(T, state.lnps.curr))
+        coslat = T.coslat[:, None].astype(c.dtype)
+        dx_psg = state.psg.curr * dx_lnps / (T.radius * coslat)
+        dy_psg = state.psg.curr * dy_lnps / (T.radius * coslat)
+
+        if c.use_virtual_temperature and "sphum" in state.tracers:
+            virt_t = pg.virtual_temperature(state.tg.curr, state.tracers["sphum"].curr, C.zvir)
+        else:
+            virt_t = state.tg.curr
+
+        du_pgf, dv_pgf, dt_econv, dps_tend, wg, wg_full = self._four_in_one(
+            state.divg.curr, state.ug.curr, state.vg.curr, virt_t, state.psg.curr,
+            ln_p_half, ln_p_full, p_full, dx_psg, dy_psg,
+        )
+        dt_ug = dt_ug + du_pgf
+        dt_vg = dt_vg + dv_pgf
+        dt_tg = dt_tg + dt_econv
+
+        # geopotential (hydrostatic)
+        phig_full, _ = pg.compute_geopotential(
+            jnp, C.rdgas, _lev_last(virt_t), _lev_last(ln_p_half), _lev_last(ln_p_full),
+            surf_geopotential, self.top_is_zero,
+        )
+        phig_full = _lev_first(phig_full)
+
+        # surface-pressure tendency -> spectral
+        dt_ln_psg = dps_tend / state.psg.curr
+        dt_lnps = tr.grid_to_spec(T, dt_ln_psg)
+
+        # vertical advection (level-last helpers)
+        dp3 = p_half[1:] - p_half[:-1]
+        uv_lev = state.ug.prev if c.uv_vert_advect_scheme in (va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC) else state.ug.curr
+        vv_lev = state.vg.prev if c.uv_vert_advect_scheme in (va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC) else state.vg.curr
+        tt_lev = state.tg.prev if c.t_vert_advect_scheme in (va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC) else state.tg.curr
+        w_l, dp_l = _lev_last(wg), _lev_last(dp3)
+        dt_ug = dt_ug + _lev_first(va.vert_advection(delta_t, w_l, dp_l, _lev_last(uv_lev), c.uv_vert_advect_scheme))
+        dt_vg = dt_vg + _lev_first(va.vert_advection(delta_t, w_l, dp_l, _lev_last(vv_lev), c.uv_vert_advect_scheme))
+        dt_tg = dt_tg + _lev_first(va.vert_advection(delta_t, w_l, dp_l, _lev_last(tt_lev), c.t_vert_advect_scheme))
+
+        # horizontal advection of T (advective form from spectral gradient)
+        dt_tg = dt_tg + tr.horizontal_advection(T, state.ts.curr, state.ug.curr, state.vg.curr)
+        dt_ts = tr.grid_to_spec(T, dt_tg)
+
+        # rotational terms and conversion to (vor, div) tendencies
+        abs_vor = state.vorg.curr + self.coriolis[None]
+        dt_ug = dt_ug + abs_vor * state.vg.curr
+        dt_vg = dt_vg - abs_vor * state.ug.curr
+        dt_vors, dt_divs = tr.vor_div_from_uv_grid(T, dt_ug, dt_vg)
+
+        # energy + geopotential Laplacian in divergence equation
+        phi_plus_ke = phig_full + 0.5 * (state.ug.curr**2 + state.vg.curr**2)
+        dt_divs = dt_divs - tr.laplacian(T, tr.grid_to_spec(T, phi_plus_ke))
+
+        # semi-implicit correction
+        if c.use_implicit:
+            dt_divs, dt_ts, dt_lnps = implicit_correction(
+                self.implicit, dt_divs, dt_ts, dt_lnps,
+                state.divs, state.ts, state.lnps, delta_t,
+            )
+
+        # hyperdiffusion (+ top sponges)
+        dt_vors = apply_damping(self.damping_vor, state.vors.prev, dt_vors, delta_t)
+        dt_vors = apply_top_sponge(self.damping_vor, state.vors.prev, dt_vors, delta_t, "vor")
+        dt_divs = apply_damping(self.damping_div, state.divs.prev, dt_divs, delta_t)
+        dt_divs = apply_top_sponge(self.damping_div, state.divs.prev, dt_divs, delta_t, "div")
+        dt_ts = apply_damping(self.damping, state.ts.prev, dt_ts, delta_t)
+
+        # ---- leapfrog part A ----
+        rc, rw = c.robert_coeff, c.raw_filter_coeff
+        lnps, P_lnps = leapfrog_part_a(state.lnps, dt_lnps, delta_t, rc, rw)
+        vors, P_vors = leapfrog_part_a(state.vors, dt_vors, delta_t, rc, rw)
+        divs, P_divs = leapfrog_part_a(state.divs, dt_divs, delta_t, rc, rw)
+        ts, P_ts = leapfrog_part_a(state.ts, dt_ts, delta_t, rc, rw)
+
+        # ---- synthesize future grid fields ----
+        divg_f = tr.spec_to_grid(T, divs.curr)
+        vorg_f = tr.spec_to_grid(T, vors.curr)
+        ug_f, vg_f = tr.uv_grid_from_vor_div(T, vors.curr, divs.curr)
+        tg_f = tr.spec_to_grid(T, ts.curr)
+        psg_f = jnp.exp(tr.spec_to_grid(T, lnps.curr))
+
+        # ---- global fixers (compute_corrections) on the future fields ----
+        if c.do_mass_correction:
+            mean_ps_f = tr.area_weighted_mean(T, psg_f)
+            mass_factor = mean_ps_prev / mean_ps_f
+            psg_f = psg_f * mass_factor
+            # grid mean equals the (0,0) coefficient in this normalization
+            lnps = TwoLevel(lnps.prev, lnps.curr.at[0, 0].add(jnp.log(mass_factor)))
+        if c.do_energy_correction:
+            energy_f = self.mass_weighted_integral(
+                0.5 * (ug_f**2 + vg_f**2) + C.cp_air * tg_f, psg_f
+            )
+            t_corr = C.grav * (energy_prev - energy_f) / (C.cp_air * mean_ps_prev)
+            tg_f = tg_f + t_corr
+            ts = TwoLevel(ts.prev, ts.curr.at[:, 0, 0].add(t_corr.astype(c.dtype)))
+
+        # ---- leapfrog part B (filter completes with the corrected future) ----
+        lnps = leapfrog_part_b(lnps, P_lnps, rc, rw)
+        vors = leapfrog_part_b(vors, P_vors, rc, rw)
+        divs = leapfrog_part_b(divs, P_divs, rc, rw)
+        ts = leapfrog_part_b(ts, P_ts, rc, rw)
+
+        advance = lambda old, fut: TwoLevel(old.curr, fut)
+        return PrimitiveState(
+            vors=vors, divs=divs, ts=ts, lnps=lnps,
+            ug=advance(state.ug, ug_f), vg=advance(state.vg, vg_f),
+            tg=advance(state.tg, tg_f), psg=advance(state.psg, psg_f),
+            vorg=advance(state.vorg, vorg_f), divg=advance(state.divg, divg_f),
+            tracers=state.tracers, spec_tracers=state.spec_tracers,
+            wg_full=wg_full,
+        )

@@ -1,0 +1,162 @@
+"""Tests for the primitive-equation core and Held-Suarez model (SURVEY.md stage 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isca_tpu.dycore import press_geopot as pg
+from isca_tpu.dycore import vert_advection as va
+from isca_tpu.dycore import vert_coordinate as vc
+from isca_tpu.dycore.primitive import PrimitiveConfig
+from isca_tpu.models.dry import HeldSuarezConfig, HeldSuarezModel
+from isca_tpu.physics.hs_forcing import HSForcingConfig
+
+
+def hs_model(resolution="T21", num_levels=12, dt=1200.0, **kw):
+    core = PrimitiveConfig(
+        resolution=resolution, num_levels=num_levels, dt=dt, dtype=jnp.float64, **kw
+    )
+    return HeldSuarezModel(HeldSuarezConfig(core=core))
+
+
+class TestVertCoord:
+    def test_even_sigma(self):
+        pk, bk = vc.compute_vert_coord("even_sigma", 10)
+        assert pk[0] == 0 and bk[0] == 0 and bk[-1] == 1.0
+        np.testing.assert_allclose(np.diff(bk), 0.1)
+
+    def test_uneven_sigma_monotone(self):
+        pk, bk = vc.compute_vert_coord(
+            "uneven_sigma", 25, scale_heights=6.0, surf_res=0.5, exponent=7.5
+        )
+        assert bk[0] == 0 and bk[-1] == 1.0
+        assert (np.diff(bk) > 0).all()
+
+    def test_hybrid_monotone_pressure(self):
+        pk, bk = vc.compute_vert_coord("hybrid", 30)
+        p = pk + bk * 101325.0
+        assert (np.diff(p) > 0).all()
+        assert bk[0] == 0.0  # pure pressure at top
+
+
+class TestPressGeopot:
+    def test_pressure_consistency(self):
+        pk, bk = vc.compute_vert_coord("even_sigma", 8)
+        ps = np.full((4, 4), 1.0e5)
+        ph, lph, pf, lpf = pg.pressure_variables(np, pk, bk, ps, True)
+        assert ph.shape == (4, 4, 9)
+        np.testing.assert_allclose(ph[..., -1], 1.0e5)
+        # full pressures between their half levels
+        assert (pf[..., 1:] > ph[..., 1:-1]).all() and (pf < ph[..., 1:]).all()
+        np.testing.assert_allclose(np.exp(lpf), pf, rtol=1e-12)
+
+    def test_isothermal_geopotential(self):
+        # For isothermal T, Phi = Phi_s + R T ln(ps/p).
+        pk, bk = vc.compute_vert_coord("even_sigma", 20)
+        ps = np.full((2, 2), 1.0e5)
+        T0, R = 280.0, 287.04
+        ph, lph, pf, lpf = pg.pressure_variables(np, pk, bk, ps, True)
+        t = np.full(pf.shape, T0)
+        phi_full, phi_half = pg.compute_geopotential(np, R, t, lph, lpf, np.zeros((2, 2)), True)
+        expected = R * T0 * (np.log(1.0e5) - lpf)
+        np.testing.assert_allclose(phi_full, expected, rtol=1e-12)
+
+
+class TestVertAdvection:
+    def test_uniform_field_no_tendency(self):
+        w = np.random.default_rng(0).standard_normal((3, 3, 9))
+        w[..., 0] = w[..., -1] = 0.0
+        dp = np.ones((3, 3, 8))
+        r = np.full((3, 3, 8), 5.0)
+        for scheme in (va.SECOND_CENTERED, va.SECOND_CENTERED_WTS,
+                       va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC):
+            out = np.asarray(va.vert_advection(100.0, jnp.asarray(w), jnp.asarray(dp),
+                                               jnp.asarray(r), scheme))
+            np.testing.assert_allclose(out, 0.0, atol=1e-12, err_msg=scheme)
+
+    def test_linear_profile_centered(self):
+        # constant w, linear r in p: advective tendency = -w dr/dp exactly for centered
+        L = 12
+        w = np.full((1, 1, L + 1), 2.0)
+        dp = np.full((1, 1, L), 10.0)
+        r = np.arange(L, dtype=float).reshape(1, 1, L) * 3.0  # dr/dp = 0.3
+        out = np.asarray(va.vert_advection(1.0, jnp.asarray(w), jnp.asarray(dp),
+                                           jnp.asarray(r), va.SECOND_CENTERED))
+        np.testing.assert_allclose(out[0, 0, 1:-1], -2.0 * 0.3, rtol=1e-12)
+
+
+class TestHeldSuarez:
+    def test_cold_start_balanced(self):
+        model = hs_model()
+        s = model.initial_state()
+        assert float(jnp.abs(s.ug.curr).max()) < 2.0  # tiny seed winds only
+        mean_ps = float(model.diagnostics(s)["mean_ps"])
+        assert abs(mean_ps - 101325.0) < 1.0
+
+    def test_short_run_stable(self):
+        model = hs_model()
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 48))(s)  # 16 hours
+        d = model.diagnostics(s)
+        assert np.isfinite(float(d["umax"]))
+        assert 100.0 < float(d["tmin"]) and float(d["tmax"]) < 500.0
+        assert abs(float(d["mean_ps"]) - 101325.0) < 1.0  # mass fixer
+
+    def test_energy_fixer_conserves_when_unforced(self):
+        # With forcing off (no_forcing equivalent: zero tendencies), total energy
+        # (KE + cp T) is fixed exactly by the energy corrector.
+        model = hs_model()
+        model.forcing = lambda u, v, t, p, ps: __import__(
+            "isca_tpu.dycore.primitive", fromlist=["GridTendencies"]
+        ).GridTendencies()
+        s = model.initial_state()
+        e0 = float(model.diagnostics(s)["energy"])
+        s = jax.jit(lambda s: model.run(s, 24))(s)
+        e1 = float(model.diagnostics(s)["energy"])
+        assert abs(e1 - e0) / e0 < 1e-10
+
+    def test_ten_day_spinup_develops_jets(self):
+        # The classic HS spin-up: baroclinic instability should begin producing
+        # westerly midlatitude jets within ~20 days. Use T21L12 for speed.
+        model = hs_model(dt=1800.0)
+        s = model.initial_state()
+        run5d = jax.jit(lambda s, first: model.run(s, 240, first=first), static_argnums=1)
+        s = run5d(s, True)
+        for _ in range(3):
+            s = run5d(s, False)   # 20 days total
+        d = model.diagnostics(s)
+        u_zonal = np.asarray(d["u_zonal"])  # (L, lat)
+        assert np.isfinite(u_zonal).all()
+        lats = np.degrees(np.asarray(model.core.T.lats))
+        midlat = (np.abs(lats) > 30) & (np.abs(lats) < 60)
+        # upper-level (lowest index third) midlatitude winds are westerly
+        upper = u_zonal[: model.config.core.num_levels // 3]
+        assert upper[:, midlat].mean() > 2.0, upper[:, midlat].mean()
+        # temperature within valid range the whole time (would have NaN'd else)
+        assert 100.0 < float(d["tmin"]) and float(d["tmax"]) < 500.0
+
+    def test_uneven_sigma_hs(self):
+        model = hs_model(
+            vert_coord_option="uneven_sigma",
+            vert_coord_kwargs=(("scale_heights", 6.0), ("surf_res", 0.5), ("exponent", 7.5)),
+        )
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 24))(s)
+        assert np.isfinite(float(model.diagnostics(s)["umax"]))
+
+    def test_f32_matches_f64_short(self):
+        cfg64 = PrimitiveConfig(resolution="T21", num_levels=8, dt=1200.0, dtype=jnp.float64)
+        cfg32 = dataclasses_replace(cfg64, dtype=jnp.float32)
+        m64 = HeldSuarezModel(HeldSuarezConfig(core=cfg64))
+        m32 = HeldSuarezModel(HeldSuarezConfig(core=cfg32))
+        s64 = jax.jit(lambda s: m64.run(s, 12))(m64.initial_state())
+        s32 = jax.jit(lambda s: m32.run(s, 12))(m32.initial_state())
+        t64 = np.asarray(s64.tg.curr)
+        t32 = np.asarray(s32.tg.curr)
+        np.testing.assert_allclose(t32, t64, atol=0.05)  # K, after 12 steps
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+    return dataclasses.replace(cfg, **kw)
