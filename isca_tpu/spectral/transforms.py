@@ -7,7 +7,10 @@ This is the TPU-native replacement for the reference's transform machinery
 * The Legendre analysis/synthesis are dense batched einsums over precomputed
   Pbar / Pbar*w tables -> they run on the MXU. The reference's (m,n,j,k) triple loops
   (spherical_fourier.F90:177-339) are the same contractions expressed scalar-wise.
-* Longitude FFTs are `jnp.fft.rfft/irfft` (XLA), replacing Temperton FFT99.
+* The longitude Fourier stage defaults to a dense real-DFT einsum (MXU-native,
+  layout/sharding-safe; at GCM grid sizes nlon <= 640 the O(n^2) matmul on the
+  MXU beats calling out to an FFT and fuses with neighbors). `jnp.fft.rfft`
+  remains available via fourier_method="fft".
 * There is no explicit domain decomposition or transpose here: the same code runs
   single-device or under jit with sharded inputs, in which case XLA inserts the
   lat<->m all-to-alls that correspond to the reference's `transpose_fourier`
@@ -69,8 +72,11 @@ RESOLUTIONS: dict[str, tuple[int, int, int]] = {
         "cdl_up",
         "cdl_dn",
         "inv_eig",
+        "dft_fwd",
+        "dft_inv",
     ],
-    meta_fields=["truncation", "num_fourier", "num_spherical", "nlon", "nlat", "radius"],
+    meta_fields=["truncation", "num_fourier", "num_spherical", "nlon", "nlat", "radius",
+                 "fourier_method"],
 )
 @dataclasses.dataclass(frozen=True)
 class SphericalTransforms:
@@ -106,6 +112,9 @@ class SphericalTransforms:
     cdl_up: jax.Array     # (M+1, N+2) -(n-1)*eps(m,n)        (times x_{n-1})
     cdl_dn: jax.Array     # (M+1, N+2)  (n+2)*eps(m,n+1)      (times x_{n+1})
     inv_eig: jax.Array    # (N+2,) -a^2/(n(n+1)), 0 at n=0 (inverse Laplacian)
+    dft_fwd: jax.Array    # (nlon, M+1) complex: exp(-i m lam)/nlon  (analysis)
+    dft_inv: jax.Array    # (M+1, nlon) complex: w_m exp(+i m lam), w_0=1, w_m=2
+    fourier_method: str = "dft"
 
     @property
     def spec_shape(self) -> tuple[int, int]:
@@ -126,6 +135,7 @@ def make_transforms(
     nlat: int | None = None,
     radius: float = 6371.0e3,
     dtype=jnp.float32,
+    fourier_method: str = "dft",
 ) -> SphericalTransforms:
     """Build transform tables for a triangular truncation.
 
@@ -174,6 +184,14 @@ def make_transforms(
     cdl_dn = (nf + 2.0) * eps_np1
     inv_eig = np.where(nn1 > 0, -(radius * radius) * inv_nn1, 0.0)
 
+    # dense real-DFT matrices for the longitude stage
+    lam_lon = 2.0 * np.pi * np.arange(nlon) / nlon
+    phase = np.exp(-1j * np.outer(lam_lon, np.arange(M + 1)))   # (nlon, M+1)
+    dft_fwd = phase / nlon
+    wm = np.full(M + 1, 2.0)
+    wm[0] = 1.0
+    dft_inv = (wm[:, None] * np.conj(phase).T)                  # (M+1, nlon)
+
     f = lambda x: jnp.asarray(x, dtype=dtype)
     return SphericalTransforms(
         truncation=truncation,
@@ -204,6 +222,9 @@ def make_transforms(
         cdl_up=f(cdl_up),
         cdl_dn=f(cdl_dn),
         inv_eig=f(inv_eig),
+        dft_fwd=jnp.asarray(dft_fwd, jnp.complex64 if dtype == jnp.float32 else jnp.complex128),
+        dft_inv=jnp.asarray(dft_inv, jnp.complex64 if dtype == jnp.float32 else jnp.complex128),
+        fourier_method=fourier_method,
     )
 
 
@@ -213,17 +234,24 @@ def make_transforms(
 # ---------------------------------------------------------------------------
 
 def grid_to_fourier(T: SphericalTransforms, g: jax.Array) -> jax.Array:
-    """rfft in longitude, normalized so F_0 is the zonal mean; truncated to m <= M."""
-    F = jnp.fft.rfft(g, axis=-1) / T.nlon
-    return F[..., : T.num_fourier + 1].astype(T.cdtype)
+    """Longitude Fourier analysis, normalized so F_0 is the zonal mean; m <= M.
+
+    Default: dense DFT einsum on the MXU. 'fft' method uses jnp.fft.rfft.
+    """
+    if T.fourier_method == "fft":
+        F = jnp.fft.rfft(g, axis=-1) / T.nlon
+        return F[..., : T.num_fourier + 1].astype(T.cdtype)
+    return jnp.einsum("...l,lm->...m", g.astype(T.cdtype), T.dft_fwd)
 
 
 def fourier_to_grid(T: SphericalTransforms, F: jax.Array) -> jax.Array:
     """Inverse of grid_to_fourier (zero-padding m > M, i.e. spectral interpolation)."""
-    nfreq = T.nlon // 2 + 1
-    pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - F.shape[-1])]
-    Ffull = jnp.pad(F, pad)
-    return jnp.fft.irfft(Ffull * T.nlon, n=T.nlon, axis=-1).astype(T.P.dtype)
+    if T.fourier_method == "fft":
+        nfreq = T.nlon // 2 + 1
+        pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - F.shape[-1])]
+        Ffull = jnp.pad(F, pad)
+        return jnp.fft.irfft(Ffull * T.nlon, n=T.nlon, axis=-1).astype(T.P.dtype)
+    return jnp.einsum("...m,ml->...l", F, T.dft_inv).real.astype(T.P.dtype)
 
 
 # ---------------------------------------------------------------------------
