@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from isca_tpu.constants import Constants, EARTH
+from isca_tpu.dycore import fv_advection as fv
 from isca_tpu.dycore import press_geopot as pg
 from isca_tpu.dycore import vert_advection as va
 from isca_tpu.dycore import vert_coordinate as vc
@@ -56,6 +57,18 @@ class GridTendencies(NamedTuple):
     dv: Any = None
     dt: Any = None
     dtracers: Any = None   # dict[str, array]
+
+
+@dataclasses.dataclass(frozen=True)
+class TracerAttr:
+    """Per-tracer numerics, the field_table equivalent
+    (reference: src/extra/model/isca/field_table + tracer_type.F90)."""
+
+    name: str
+    representation: str = "grid"          # 'grid' (van Leer A-grid) | 'spectral'
+    vert_scheme: str = va.FINITE_VOLUME_PARABOLIC
+    robert_coeff: float = 0.04
+    hole_filling: bool = False            # spectral representation only
 
 
 @dataclasses.dataclass(frozen=True)
@@ -123,10 +136,14 @@ class PrimitiveState:
 class PrimitiveCore:
     """Static tables + configuration; all step methods are pure and jittable."""
 
-    def __init__(self, config: PrimitiveConfig, tracer_names: tuple = ()):
+    def __init__(self, config: PrimitiveConfig, tracer_attrs: tuple = ()):
         self.config = c = config
         self.C = c.constants
         self.T = tr.make_transforms(c.resolution, radius=self.C.radius, dtype=c.dtype)
+        self.tracer_attrs = tuple(tracer_attrs)
+        self.fv_geom = fv.make_fv_geometry(self.T) if any(
+            a.representation == "grid" for a in self.tracer_attrs
+        ) else None
         self.pk_np, self.bk_np = vc.compute_vert_coord(
             c.vert_coord_option, c.num_levels, **dict(c.vert_coord_kwargs)
         )
@@ -138,7 +155,6 @@ class PrimitiveCore:
         self.dpk = jnp.asarray(np.diff(self.pk_np), c.dtype)
         self.dbk = jnp.asarray(np.diff(self.bk_np), c.dtype)
         self.top_is_zero = bool(self.pk_np[0] == 0.0 and self.bk_np[0] == 0.0)
-        self.tracer_names = tuple(tracer_names)
 
         self.damping = make_damping(
             self.T,
@@ -205,18 +221,19 @@ class PrimitiveCore:
             surf_geopotential = jnp.zeros(T.grid_shape, c.dtype)
         self.surf_geopotential = surf_geopotential
 
-        pert = np.zeros((L, T.num_fourier + 1, T.num_spherical + 1), dtype=np.complex128)
         # FMS seeds modes (m, n_idx) = (1,3),(5,3),(1,2),(5,2) -> total n = m + n_idx
+        # (real perturbation mask built on host; complex arrays never cross host<->device)
+        pert_mask = np.zeros((L, T.num_fourier + 1, T.num_spherical + 1))
         for (m, nidx) in ((1, 3), (5, 3), (1, 2), (5, 2)):
-            pert[L - 3 :, m, m + nidx] = 1.0e-7
+            pert_mask[L - 3 :, m, m + nidx] = 1.0e-7
 
         @jax.jit
-        def _init(surf_geopot, pert):
+        def _init(surf_geopot, pert_mask):
             ln_psg = jnp.log(c.reference_sea_level_press) - surf_geopot / (
                 self.C.rdgas * c.initial_temperature
             )
             tg = jnp.full((L,) + T.grid_shape, c.initial_temperature, c.dtype)
-            vors = tr.triangular_truncate(T, pert)
+            vors = tr.triangular_truncate(T, jax.lax.complex(pert_mask, jnp.zeros_like(pert_mask)))
             divs = jnp.zeros_like(vors)
             ug, vg = tr.uv_grid_from_vor_div(T, vors, divs)
             # band-limit T and ln ps through one round trip
@@ -233,17 +250,21 @@ class PrimitiveCore:
 
         vors, divs, ts, lnps, ug, vg, tg, psg, vorg, divg = _init(
             jnp.asarray(surf_geopotential, c.dtype),
-            jnp.asarray(pert, jnp.complex64 if c.dtype == jnp.float32 else jnp.complex128),
+            jnp.asarray(pert_mask, c.dtype),
         )
         two = lambda x: TwoLevel(x, x)
         zeros_tr = {
-            name: two(jnp.zeros((L,) + T.grid_shape, c.dtype)) for name in self.tracer_names
+            a.name: two(jnp.zeros((L,) + T.grid_shape, c.dtype)) for a in self.tracer_attrs
+        }
+        zeros_sp = {
+            a.name: two(jnp.zeros_like(vors))
+            for a in self.tracer_attrs if a.representation == "spectral"
         }
         return PrimitiveState(
             vors=two(vors), divs=two(divs), ts=two(ts), lnps=two(lnps),
             ug=two(ug), vg=two(vg), tg=two(tg), psg=two(psg),
             vorg=two(vorg), divg=two(divg),
-            tracers=zeros_tr, spec_tracers={},
+            tracers=zeros_tr, spec_tracers=zeros_sp,
             wg_full=jnp.zeros((L,) + T.grid_shape, c.dtype),
         )
 
@@ -391,6 +412,54 @@ class PrimitiveCore:
         ug_f, vg_f = tr.uv_grid_from_vor_div(T, vors.curr, divs.curr)
         tg_f = tr.spec_to_grid(T, ts.curr)
         psg_f = jnp.exp(tr.spec_to_grid(T, lnps.curr))
+
+        # ---- tracers (update_tracers, spectral_dynamics.F90:1116-1188) ----
+        new_tracers = dict(state.tracers)
+        new_spec_tracers = dict(state.spec_tracers)
+        tracer_partB = {}
+        if c.do_water_correction:
+            dq_phys = (phys.dtracers or {}).get("sphum")
+            q_prev_est = state.tracers["sphum"].prev + (
+                delta_t * dq_phys if dq_phys is not None else 0.0
+            )
+            mean_water_prev = self.mass_weighted_integral(q_prev_est, state.psg.prev)
+        for attr in self.tracer_attrs:
+            name = attr.name
+            dtr_phys = (phys.dtracers or {}).get(name)
+            trg = state.tracers[name]
+            rc_t = attr.robert_coeff
+            if attr.representation == "spectral":
+                trs = state.spec_tracers[name]
+                dt_tr = tr.horizontal_advection(T, trs.curr, state.ug.curr, state.vg.curr)
+                if dtr_phys is not None:
+                    dt_tr = dt_tr + dtr_phys
+                lev = trg.prev if attr.vert_scheme in (
+                    va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC) else trg.curr
+                dt_tr = dt_tr + _lev_first(
+                    va.vert_advection(delta_t, w_l, dp_l, _lev_last(lev), attr.vert_scheme)
+                )
+                dt_trs = tr.grid_to_spec(T, dt_tr)
+                dt_trs = apply_damping(self.damping, trs.prev, dt_trs, delta_t)
+                trs_new, P_trs = leapfrog_part_a(trs, dt_trs, delta_t, rc_t, rw)
+                trg_f = tr.spec_to_grid(T, trs_new.curr)
+                new_spec_tracers[name] = trs_new
+                new_tracers[name] = TwoLevel(trg.curr, trg_f)
+                tracer_partB[name] = P_trs
+            else:
+                # grid tracer: forward from previous + van Leer horiz + FV vertical
+                tr_future = trg.prev + (delta_t * dtr_phys if dtr_phys is not None else 0.0)
+                adv = fv.a_grid_horiz_advection(
+                    self.fv_geom, state.ug.curr, state.vg.curr, tr_future, delta_t
+                )
+                tr_future = tr_future + delta_t * adv
+                dt_vert = _lev_first(
+                    va.vert_advection(delta_t, w_l, dp_l, _lev_last(tr_future), attr.vert_scheme)
+                )
+                tr_future = tr_future + delta_t * dt_vert
+                P_tr = trg.prev - 2.0 * trg.curr
+                curr_filt = trg.curr + rc_t * rw * P_tr
+                new_tracers[name] = TwoLevel(curr_filt, tr_future)
+                tracer_partB[name] = P_tr
 
         # ---- global fixers (compute_corrections) on the future fields ----
         if c.do_mass_correction:

@@ -72,8 +72,10 @@ RESOLUTIONS: dict[str, tuple[int, int, int]] = {
         "cdl_up",
         "cdl_dn",
         "inv_eig",
-        "dft_fwd",
-        "dft_inv",
+        "dft_cos_f",
+        "dft_sin_f",
+        "dft_cos_i",
+        "dft_sin_i",
     ],
     meta_fields=["truncation", "num_fourier", "num_spherical", "nlon", "nlat", "radius",
                  "fourier_method"],
@@ -112,8 +114,12 @@ class SphericalTransforms:
     cdl_up: jax.Array     # (M+1, N+2) -(n-1)*eps(m,n)        (times x_{n-1})
     cdl_dn: jax.Array     # (M+1, N+2)  (n+2)*eps(m,n+1)      (times x_{n+1})
     inv_eig: jax.Array    # (N+2,) -a^2/(n(n+1)), 0 at n=0 (inverse Laplacian)
-    dft_fwd: jax.Array    # (nlon, M+1) complex: exp(-i m lam)/nlon  (analysis)
-    dft_inv: jax.Array    # (M+1, nlon) complex: w_m exp(+i m lam), w_0=1, w_m=2
+    # real DFT tables (complex constants cannot be embedded on all backends and
+    # real matmuls are what the MXU natively runs):
+    dft_cos_f: jax.Array  # (nlon, M+1) cos(m lam)/nlon   (analysis, real part)
+    dft_sin_f: jax.Array  # (nlon, M+1) -sin(m lam)/nlon  (analysis, imag part)
+    dft_cos_i: jax.Array  # (M+1, nlon) w_m cos(m lam)    (synthesis; w_0=1 else 2)
+    dft_sin_i: jax.Array  # (M+1, nlon) -w_m sin(m lam)
     fourier_method: str = "dft"
 
     @property
@@ -186,11 +192,13 @@ def make_transforms(
 
     # dense real-DFT matrices for the longitude stage
     lam_lon = 2.0 * np.pi * np.arange(nlon) / nlon
-    phase = np.exp(-1j * np.outer(lam_lon, np.arange(M + 1)))   # (nlon, M+1)
-    dft_fwd = phase / nlon
+    ang = np.outer(lam_lon, np.arange(M + 1))                   # (nlon, M+1)
+    dft_cos_f = np.cos(ang) / nlon
+    dft_sin_f = -np.sin(ang) / nlon
     wm = np.full(M + 1, 2.0)
     wm[0] = 1.0
-    dft_inv = (wm[:, None] * np.conj(phase).T)                  # (M+1, nlon)
+    dft_cos_i = wm[:, None] * np.cos(ang).T
+    dft_sin_i = -wm[:, None] * np.sin(ang).T
 
     f = lambda x: jnp.asarray(x, dtype=dtype)
     return SphericalTransforms(
@@ -222,8 +230,10 @@ def make_transforms(
         cdl_up=f(cdl_up),
         cdl_dn=f(cdl_dn),
         inv_eig=f(inv_eig),
-        dft_fwd=jnp.asarray(dft_fwd, jnp.complex64 if dtype == jnp.float32 else jnp.complex128),
-        dft_inv=jnp.asarray(dft_inv, jnp.complex64 if dtype == jnp.float32 else jnp.complex128),
+        dft_cos_f=f(dft_cos_f),
+        dft_sin_f=f(dft_sin_f),
+        dft_cos_i=f(dft_cos_i),
+        dft_sin_i=f(dft_sin_i),
         fourier_method=fourier_method,
     )
 
@@ -241,7 +251,9 @@ def grid_to_fourier(T: SphericalTransforms, g: jax.Array) -> jax.Array:
     if T.fourier_method == "fft":
         F = jnp.fft.rfft(g, axis=-1) / T.nlon
         return F[..., : T.num_fourier + 1].astype(T.cdtype)
-    return jnp.einsum("...l,lm->...m", g.astype(T.cdtype), T.dft_fwd)
+    Fr = jnp.einsum("...l,lm->...m", g, T.dft_cos_f)
+    Fi = jnp.einsum("...l,lm->...m", g, T.dft_sin_f)
+    return jax.lax.complex(Fr, Fi)
 
 
 def fourier_to_grid(T: SphericalTransforms, F: jax.Array) -> jax.Array:
@@ -251,7 +263,10 @@ def fourier_to_grid(T: SphericalTransforms, F: jax.Array) -> jax.Array:
         pad = [(0, 0)] * (F.ndim - 1) + [(0, nfreq - F.shape[-1])]
         Ffull = jnp.pad(F, pad)
         return jnp.fft.irfft(Ffull * T.nlon, n=T.nlon, axis=-1).astype(T.P.dtype)
-    return jnp.einsum("...m,ml->...l", F, T.dft_inv).real.astype(T.P.dtype)
+    return (
+        jnp.einsum("...m,ml->...l", F.real, T.dft_cos_i)
+        + jnp.einsum("...m,ml->...l", F.imag, T.dft_sin_i)
+    ).astype(T.P.dtype)
 
 
 # ---------------------------------------------------------------------------
