@@ -476,11 +476,37 @@ class PrimitiveCore:
             tg_f = tg_f + t_corr
             ts = TwoLevel(ts.prev, ts.curr.at[:, 0, 0].add(t_corr.astype(c.dtype)))
 
+        if c.do_water_correction and "sphum" in new_tracers:
+            # rescale future moisture where p >= water_correction_limit so the
+            # corrected-region mass integral restores the previous total
+            # (spectral_dynamics.F90:1245-1283 incl. the MiMA limit extension)
+            q_f = new_tracers["sphum"].curr
+            mask = (p_full >= c.water_correction_limit).astype(c.dtype)
+            corr = self.mass_weighted_integral(q_f * mask, psg_f)
+            not_corr = self.mass_weighted_integral(q_f * (1.0 - mask), psg_f)
+            total = corr + not_corr
+            base = jnp.where(total > 0.0, mean_water_prev / jnp.where(total > 0, total, 1.0), 1.0)
+            safe_corr = jnp.where(corr > 0, corr, 1.0)
+            factor = base * (1.0 + not_corr / safe_corr) - not_corr / safe_corr
+            factor = jnp.where((total > 0.0) & (corr > 0.0), factor, 1.0)
+            q_f = jnp.where(mask > 0, factor * q_f, q_f)
+            new_tracers["sphum"] = TwoLevel(new_tracers["sphum"].prev, q_f)
+
         # ---- leapfrog part B (filter completes with the corrected future) ----
         lnps = leapfrog_part_b(lnps, P_lnps, rc, rw)
         vors = leapfrog_part_b(vors, P_vors, rc, rw)
         divs = leapfrog_part_b(divs, P_divs, rc, rw)
         ts = leapfrog_part_b(ts, P_ts, rc, rw)
+        for attr in self.tracer_attrs:
+            name = attr.name
+            if attr.representation == "spectral":
+                new_spec_tracers[name] = leapfrog_part_b(
+                    new_spec_tracers[name], tracer_partB[name], attr.robert_coeff, rw
+                )
+            else:
+                new_tracers[name] = leapfrog_part_b(
+                    new_tracers[name], tracer_partB[name], attr.robert_coeff, rw
+                )
 
         advance = lambda old, fut: TwoLevel(old.curr, fut)
         return PrimitiveState(
@@ -488,6 +514,6 @@ class PrimitiveCore:
             ug=advance(state.ug, ug_f), vg=advance(state.vg, vg_f),
             tg=advance(state.tg, tg_f), psg=advance(state.psg, psg_f),
             vorg=advance(state.vorg, vorg_f), divg=advance(state.divg, divg_f),
-            tracers=state.tracers, spec_tracers=state.spec_tracers,
+            tracers=new_tracers, spec_tracers=new_spec_tracers,
             wg_full=wg_full,
         )
