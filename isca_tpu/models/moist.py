@@ -1,0 +1,165 @@
+"""Grey-radiation moist aquaplanet (Frierson) model.
+
+Reference composition: GreyCodeBase (`grey_isca.x`) — the primitive-equation
+spectral core + idealized_moist_phys with two-stream grey radiation, simple
+Betts-Miller convection, large-scale condensation, Monin-Obukhov surface
+fluxes, K-profile boundary layer, and a slab ocean; specific humidity as a
+grid tracer (van Leer + PPM vertical), with the water-conservation fixer.
+
+Matches exp/test_cases/frierson/frierson_test_case.py defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isca_tpu.dycore import press_geopot as pgm
+from isca_tpu.dycore import vert_advection as va
+from isca_tpu.dycore.primitive import (
+    GridTendencies,
+    PrimitiveConfig,
+    PrimitiveCore,
+    PrimitiveState,
+    TracerAttr,
+)
+from isca_tpu.dycore.time_integration import TwoLevel
+from isca_tpu.physics.moist_driver import MoistPhysics, MoistPhysicsConfig
+from isca_tpu.spectral import transforms as tr
+
+
+@dataclasses.dataclass(frozen=True)
+class GreyMoistConfig:
+    core: PrimitiveConfig = PrimitiveConfig(
+        resolution="T42",
+        num_levels=25,
+        dt=720.0,
+        vert_coord_option="uneven_sigma",
+        vert_coord_kwargs=(("scale_heights", 6.0), ("surf_res", 0.5), ("exponent", 7.5)),
+        do_water_correction=True,
+        water_correction_limit=200.0e2,
+        use_virtual_temperature=False,   # frierson test case: dry dynamics T
+        robert_coeff=0.03,
+    )
+    physics: MoistPhysicsConfig = MoistPhysicsConfig()
+    initial_sphum: float = 2.0e-6
+    t_surf_init: float = 285.0
+    sphum_vert_scheme: str = va.FINITE_VOLUME_PARABOLIC
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["dyn", "t_surf", "time_seconds"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class GreyMoistState:
+    dyn: PrimitiveState
+    t_surf: jax.Array
+    time_seconds: jax.Array   # model time (s) for seasonal insolation
+
+
+class GreyMoistModel:
+    def __init__(self, config: GreyMoistConfig = GreyMoistConfig()):
+        self.config = config
+        attrs = (
+            TracerAttr("sphum", representation="grid",
+                       vert_scheme=config.sphum_vert_scheme),
+        )
+        self.core = PrimitiveCore(config.core, tracer_attrs=attrs)
+        self.physics = MoistPhysics(config.physics, self.core.T.lats, self.core.T.lons)
+        self.surf_geopotential = jnp.zeros(self.core.T.grid_shape, config.core.dtype)
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> GreyMoistState:
+        c = self.config
+        dyn = self.core.cold_start(self.surf_geopotential)
+        q0 = jnp.full_like(dyn.tracers["sphum"].curr, c.initial_sphum)
+        dyn.tracers["sphum"] = TwoLevel(q0, q0)
+        t_surf = jnp.full(self.core.T.grid_shape, c.t_surf_init, c.core.dtype)
+        return GreyMoistState(dyn=dyn, t_surf=t_surf,
+                              time_seconds=jnp.zeros((), jnp.float32))
+
+    # ------------------------------------------------------------------
+    def step(self, state: GreyMoistState, first: bool = False) -> GreyMoistState:
+        c = self.config
+        core = self.core
+        C = core.C
+        dyn = state.dyn
+        delta_t = c.core.dt if first else 2.0 * c.core.dt
+        ll = lambda x: jnp.moveaxis(x, 0, -1)   # level-first -> level-last
+        lf = lambda x: jnp.moveaxis(x, -1, 0)
+
+        # pressures/heights at previous and current
+        def pres_z(psg, tg, qg):
+            ph, lph, pf, lpf = pgm.pressure_variables(
+                jnp, core.pk, core.bk, psg, core.top_is_zero
+            )
+            geo_f, geo_h = pgm.compute_geopotential(
+                jnp, C.rdgas, ll(tg), lph, lpf, self.surf_geopotential,
+                core.top_is_zero,
+            )
+            return ph, pf, geo_f / C.grav, geo_h / C.grav
+
+        q = dyn.tracers["sphum"]
+        ph_prev, pf_prev, _, _ = pres_z(dyn.psg.prev, dyn.tg.prev, q.prev)
+        ph_curr, pf_curr, zf_curr, zh_curr = pres_z(dyn.psg.curr, dyn.tg.curr, q.curr)
+
+        day = C.seconds_per_day
+        gmt = jnp.mod(state.time_seconds, day) / day * 2.0 * jnp.pi
+        tsae = jnp.mod(
+            state.time_seconds / c.physics.constants.orbital_period
+            - c.physics.radiation.equinox_day, 1.0
+        ) * 2.0 * jnp.pi
+
+        phys = self.physics(
+            delta_t, c.core.dt,
+            ll(dyn.ug.prev), ll(dyn.vg.prev), ll(dyn.tg.prev), ll(q.prev),
+            pf_prev, ph_prev, pf_curr, ph_curr, zf_curr, zh_curr,
+            state.t_surf, gmt=gmt, time_since_ae=tsae,
+        )
+
+        tend = GridTendencies(
+            du=lf(phys.dt_u), dv=lf(phys.dt_v), dt=lf(phys.dt_t),
+            dtracers={"sphum": lf(phys.dt_q)},
+        )
+        dyn_new = core.dynamics_step(dyn, tend, self.surf_geopotential, first=first)
+        return GreyMoistState(
+            dyn=dyn_new, t_surf=phys.t_surf,
+            time_seconds=state.time_seconds + c.core.dt,
+        )
+
+    # ------------------------------------------------------------------
+    def run(self, state: GreyMoistState, num_steps: int, first: bool = True) -> GreyMoistState:
+        if first:
+            state = self.step(state, first=True)
+            num_steps -= 1
+        body = lambda s, _: (self.step(s), None)
+        state, _ = jax.lax.scan(body, state, None, length=num_steps)
+        return state
+
+    def diagnostics(self, state: GreyMoistState) -> dict[str, jax.Array]:
+        @jax.jit
+        def _diag(state):
+            T = self.core.T
+            dyn = state.dyn
+            q = dyn.tracers["sphum"].curr
+            return {
+                "mean_ps": tr.area_weighted_mean(T, dyn.psg.curr),
+                "tmin": dyn.tg.curr.min(),
+                "tmax": dyn.tg.curr.max(),
+                "umax": jnp.abs(dyn.ug.curr).max(),
+                "qmin": q.min(),
+                "qmax": q.max(),
+                "mean_t_surf": tr.area_weighted_mean(T, state.t_surf),
+                "total_water": self.core.mass_weighted_integral(q, dyn.psg.curr),
+                "t_zonal": dyn.tg.curr.mean(axis=2),
+                "u_zonal": dyn.ug.curr.mean(axis=2),
+                "q_zonal": q.mean(axis=2),
+            }
+        return _diag(state)

@@ -1,0 +1,197 @@
+"""Idealized moist physics driver (Frierson grey-radiation tier).
+
+Reference: src/atmos_spectral/driver/solo/idealized_moist_phys.F90:819-1395.
+Sequencing (verified against the source; boundary-condition subtlety per
+docs/source/isca_structure.rst): convection -> large-scale condensation ->
+radiation down-sweep -> surface fluxes -> radiation up-sweep -> boundary-layer
+diffusivities -> vertical-diffusion down-sweep -> mixed-layer implicit surface
+energy balance -> vertical-diffusion up-sweep.
+
+Prognostic fields are taken at the `previous` time level, pressures/heights at
+`current` where the reference does (p at previous for convection/condensation).
+The mixed layer advances with dt_real (not the leapfrog 2*dt).
+
+All internal physics arrays are level-LAST (..., L) columns; the driver
+converts from the dycore's level-first layout at the boundary.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from isca_tpu.constants import Constants, EARTH
+from isca_tpu.physics.diffusivity import DiffusivityConfig, diffusivity
+from isca_tpu.physics.lscale_cond import LscaleCond, LscaleCondConfig
+from isca_tpu.physics.mixed_layer import (
+    MixedLayerConfig,
+    analytic_qflux,
+    mixed_layer_step,
+)
+from isca_tpu.physics.qe_moist_convection import QEMoistConvection, QEMoistConvectionConfig
+from isca_tpu.physics.sat_vapor_pres import SatVaporPres
+from isca_tpu.physics.surface_flux import SurfaceFluxConfig, surface_flux
+from isca_tpu.physics.two_stream_gray import TwoStreamConfig, TwoStreamGray
+from isca_tpu.physics.vert_diff import gcm_vert_diff_down, gcm_vert_diff_up
+
+
+@dataclasses.dataclass(frozen=True)
+class MoistPhysicsConfig:
+    convection_scheme: str = "SIMPLE_BETTS_MILLER"   # | NONE | DRY
+    turb: bool = True
+    do_damping: bool = False
+    mixed_layer_bc: bool = True
+    do_simple_sat: bool = True          # sat_vapor_pres do_simple (Frierson)
+    roughness_mom: float = 0.05
+    roughness_heat: float = 0.05
+    roughness_moist: float = 0.05
+    gust_const: float = 1.0
+    do_conserve_energy_diff: bool = True
+    convection: QEMoistConvectionConfig = QEMoistConvectionConfig()
+    condensation: LscaleCondConfig = LscaleCondConfig(do_simple=False, do_evap=False)
+    radiation: TwoStreamConfig = TwoStreamConfig()
+    surface: SurfaceFluxConfig = SurfaceFluxConfig()
+    bl: DiffusivityConfig = DiffusivityConfig(do_simple=True, frac_inner=0.1)
+    mixed_layer: MixedLayerConfig = MixedLayerConfig()
+    constants: Constants = EARTH
+
+
+class MoistPhysicsResult(NamedTuple):
+    dt_u: jax.Array
+    dt_v: jax.Array
+    dt_t: jax.Array
+    dt_q: jax.Array
+    t_surf: jax.Array
+    diagnostics: dict
+
+
+class MoistPhysics:
+    def __init__(self, config: MoistPhysicsConfig, lats, lons):
+        """lats (nlat,), lons (nlon,) in radians."""
+        self.config = config
+        self.C = config.constants
+        self.svp = SatVaporPres(constants=self.C, do_simple=config.do_simple_sat)
+        self.convection = QEMoistConvection(config.convection, self.svp)
+        self.condensation = LscaleCond(config.condensation, self.svp)
+        self.radiation = TwoStreamGray(config.radiation)
+        self.lat2d = lats[:, None] * jnp.ones_like(lons)[None, :]
+        self.lon2d = jnp.ones_like(lats)[:, None] * lons[None, :]
+        ml = config.mixed_layer
+        self.ocean_qflux = (
+            analytic_qflux(ml, self.lat2d) if ml.do_qflux else jnp.zeros_like(self.lat2d)
+        )
+
+    def __call__(
+        self,
+        delta_t, dt_real,
+        # level-last prognostic fields at `previous`
+        u_prev, v_prev, t_prev, q_prev,
+        # pressures/heights: previous and current
+        p_full_prev, p_half_prev,
+        p_full_curr, p_half_curr, z_full_curr, z_half_curr,
+        t_surf,
+        gmt=0.0, time_since_ae=0.0,
+    ) -> MoistPhysicsResult:
+        cfg, C = self.config, self.C
+        L = t_prev.shape[-1]
+        shape2d = t_prev.shape[:-1]
+        dt_u = jnp.zeros_like(u_prev)
+        dt_v = jnp.zeros_like(v_prev)
+        dt_t = jnp.zeros_like(t_prev)
+        dt_q = jnp.zeros_like(q_prev)
+        diag = {}
+
+        # ---- convection ----
+        if cfg.convection_scheme == "SIMPLE_BETTS_MILLER":
+            conv = self.convection(delta_t, t_prev, q_prev, p_full_prev, p_half_prev)
+            tg_tmp = t_prev + conv.deltaT
+            qg_tmp = q_prev + conv.deltaq
+            dt_t = dt_t + conv.deltaT / delta_t
+            dt_q = dt_q + conv.deltaq / delta_t
+            conv_rain = conv.rain / delta_t
+            diag.update(convection_rain=conv_rain, cape=conv.cape, cin=conv.cin)
+        else:
+            tg_tmp, qg_tmp = t_prev, q_prev
+            conv_rain = jnp.zeros(shape2d, t_prev.dtype)
+
+        # ---- large-scale condensation ----
+        if cfg.convection_scheme != "DRY":
+            cond = self.condensation(tg_tmp, qg_tmp, p_full_prev, p_half_prev)
+            dt_t = dt_t + cond.tdel / delta_t
+            dt_q = dt_q + cond.qdel / delta_t
+            cond_rain = (cond.rain + cond.snow) / delta_t
+            diag.update(condensation_rain=cond_rain)
+        else:
+            cond_rain = jnp.zeros(shape2d, t_prev.dtype)
+        diag["precipitation"] = conv_rain + cond_rain
+
+        # ---- radiation: downward pass ----
+        albedo = jnp.full(shape2d, cfg.mixed_layer.albedo_value, t_prev.dtype)
+        dt_rad_avg = cfg.radiation.dt_rad_avg if cfg.radiation.dt_rad_avg > 0 else dt_real
+        dt_rad_radians = dt_rad_avg / C.seconds_per_day * 2.0 * jnp.pi
+        rad_down = self.radiation.down(
+            self.lat2d, self.lon2d, p_half_curr, t_prev, q_prev, albedo,
+            gmt=gmt, time_since_ae=time_since_ae, dt_rad_avg=dt_rad_radians,
+        )
+
+        # ---- surface fluxes (lowest level, previous) ----
+        z_surf = z_half_curr[..., -1]
+        sf = surface_flux(
+            cfg.surface, self.svp,
+            t_prev[..., -1], q_prev[..., -1], u_prev[..., -1], v_prev[..., -1],
+            p_full_curr[..., -1], z_full_curr[..., -1] - z_surf,
+            p_half_curr[..., -1], t_surf,
+            jnp.full(shape2d, cfg.roughness_mom, t_prev.dtype),
+            jnp.full(shape2d, cfg.roughness_heat, t_prev.dtype),
+            jnp.full(shape2d, cfg.roughness_moist, t_prev.dtype),
+            jnp.full(shape2d, cfg.gust_const, t_prev.dtype),
+        )
+        diag.update(flux_t=sf.flux_t, flux_lhe=C.hlv * sf.flux_q, u_star=sf.u_star)
+
+        # ---- radiation: upward pass (heating added to dt_t) ----
+        rad = self.radiation.up(rad_down, p_half_curr, t_surf, albedo)
+        dt_t = dt_t + rad.tdt_rad
+        diag.update(olr=rad.olr, swdn_sfc=rad_down.net_surf_sw_down,
+                    lwdn_sfc=rad_down.surf_lw_down, tdt_rad=rad.tdt_rad,
+                    coszen=rad_down.coszen)
+
+        if not cfg.turb:
+            return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf, diag)
+
+        # ---- boundary-layer diffusivities (current == previous fields here;
+        #      the driver passes prev since grid lag makes them the same source)
+        bl = diffusivity(
+            cfg.bl, t_prev, q_prev, u_prev, v_prev,
+            p_full_curr, p_half_curr, z_full_curr - z_surf[..., None],
+            z_half_curr - z_surf[..., None], sf.u_star, sf.b_star,
+        )
+        diag["z_pbl"] = bl.h_pbl
+
+        # ---- vertical diffusion down / mixed layer / up ----
+        down = gcm_vert_diff_down(
+            C, delta_t,
+            u_prev, v_prev, t_prev, q_prev,
+            bl.k_m, bl.k_t,
+            p_half_curr, p_full_curr, z_full_curr,
+            sf.flux_u, sf.flux_v, sf.dtaudu_atm, sf.dtaudv_atm,
+            dt_u, dt_v, dt_t, dt_q,
+            do_conserve_energy=cfg.do_conserve_energy_diff,
+        )
+        dt_u, dt_v = down.dt_u, down.dt_v
+
+        ml = mixed_layer_step(
+            cfg.mixed_layer, dt_real, t_surf, down.tri,
+            sf.flux_t, sf.flux_q, sf.flux_r,
+            rad_down.net_surf_sw_down, rad_down.surf_lw_down,
+            sf.dhdt_surf, sf.dedt_surf, sf.dedq_surf, sf.drdt_surf,
+            sf.dhdt_atm, sf.dedq_atm,
+            ocean_qflux=self.ocean_qflux,
+            lats=self.lat2d,
+        )
+        tri = down.tri._replace(delta_t=ml.delta_t, delta_q=ml.delta_q)
+        dt_t, dt_q = gcm_vert_diff_up(delta_t, tri)
+        diag["t_surf"] = ml.t_surf
+        return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, ml.t_surf, diag)

@@ -1,0 +1,64 @@
+"""Integration tests for the grey-radiation moist aquaplanet (Frierson tier)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isca_tpu.dycore.primitive import PrimitiveConfig
+from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+from isca_tpu.physics.moist_driver import MoistPhysicsConfig
+from isca_tpu.physics.two_stream_gray import TwoStreamConfig
+
+
+def small_model(**phys_kw):
+    core = PrimitiveConfig(
+        resolution="T21", num_levels=12, dt=1200.0, dtype=jnp.float64,
+        vert_coord_option="uneven_sigma",
+        vert_coord_kwargs=(("scale_heights", 6.0), ("surf_res", 0.5), ("exponent", 7.5)),
+        do_water_correction=True, water_correction_limit=200.0e2,
+        robert_coeff=0.03,
+    )
+    phys = MoistPhysicsConfig(**phys_kw) if phys_kw else MoistPhysicsConfig()
+    return GreyMoistModel(GreyMoistConfig(core=core, physics=phys))
+
+
+class TestGreyMoist:
+    def test_five_day_spinup(self):
+        model = small_model()
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 72 * 5))(s)
+        d = model.diagnostics(s)
+        assert np.isfinite(float(d["tmax"]))
+        assert 150.0 < float(d["tmin"]) and float(d["tmax"]) < 350.0
+        # ocean evaporates into an initially dry atmosphere
+        assert float(d["total_water"]) > 1.0
+        assert float(d["qmin"]) > -1e-6   # positivity (van Leer + fixer)
+        assert abs(float(d["mean_ps"]) - 101325.0) < 2.0
+        # slab ocean stays in a sane range
+        assert 270.0 < float(d["mean_t_surf"]) < 300.0
+
+    def test_seasonal_insolation_runs(self):
+        model = small_model(
+            radiation=TwoStreamConfig(do_seasonal=True, use_time_average_coszen=True)
+        )
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 48))(s)
+        assert np.isfinite(float(model.diagnostics(s)["tmax"]))
+
+    def test_byrne_radiation_runs(self):
+        model = small_model(radiation=TwoStreamConfig(rad_scheme="byrne"))
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 48))(s)
+        assert np.isfinite(float(model.diagnostics(s)["tmax"]))
+
+    def test_f32(self):
+        core = PrimitiveConfig(
+            resolution="T21", num_levels=12, dt=1200.0, dtype=jnp.float32,
+            do_water_correction=True, robert_coeff=0.03,
+        )
+        model = GreyMoistModel(GreyMoistConfig(core=core))
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 72))(s)
+        assert np.isfinite(float(model.diagnostics(s)["tmax"]))
