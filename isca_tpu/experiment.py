@@ -1,0 +1,154 @@
+"""Experiment driver: segmented runs, diagnostics, restart chaining.
+
+The user-facing replacement for the reference's Python `Experiment`
+(src/extra/python/isca/experiment.py): no compile step (models are jit-compiled
+on first use), no MPI spawn, no per-PE output combining. A run is a sequence of
+segments (e.g. 30-day months); each segment scans the model under one jit with
+on-device diagnostic accumulation, writes NetCDF diagnostics, and archives a
+restart that the next segment (or a later `run(i)`) chains from.
+
+    model = GreyMoistModel(GreyMoistConfig())
+    dt = DiagTable().add_file("atmos_daily", 86400)
+    dt.add_field("atmos_daily", "dynamics", "temp", time_avg=True)
+    exp = Experiment("frierson_T42", model, dt, datadir="runs")
+    exp.run(1, days=30)
+    exp.run(2, days=30)          # chains from run 1's restart
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time as _time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from isca_tpu.io.diag_manager import DiagManager, DiagTable
+from isca_tpu.io.restart import load_restart, save_restart
+
+log = logging.getLogger("isca_tpu")
+if not log.handlers:
+    _h = logging.StreamHandler()
+    _h.setFormatter(logging.Formatter("%(asctime)s isca_tpu: %(message)s"))
+    log.addHandler(_h)
+    log.setLevel(logging.INFO)
+
+
+class Experiment:
+    def __init__(self, name: str, model, diag_table: DiagTable | None = None,
+                 datadir: str = "runs", steps_per_diag_chunk: int | None = None):
+        self.name = name
+        self.model = model
+        self.datadir = os.path.join(datadir, name)
+        self.diag_table = diag_table
+        os.makedirs(os.path.join(self.datadir, "restarts"), exist_ok=True)
+        core = getattr(model, "core", None)
+        self.T = core.T if core is not None else model.T
+        self.dt = self._model_dt()
+        self.steps_per_day = int(round(86400.0 / self.dt))
+
+    def _model_dt(self):
+        cfg = self.model.config
+        return getattr(cfg, "dt", None) or cfg.core.dt
+
+    def _restart_path(self, i: int) -> str:
+        return os.path.join(self.datadir, "restarts", f"res{i:04d}.npz")
+
+    # ------------------------------------------------------------------
+    def run(self, i: int, days: int = 30, restart_file: str | None = None):
+        """Run segment i for `days` model days; chain from res{i-1} if present."""
+        model, T = self.model, self.T
+        rundir = os.path.join(self.datadir, f"run{i:04d}")
+        os.makedirs(rundir, exist_ok=True)
+
+        first = True
+        state = model.initial_state()
+        src = restart_file or (self._restart_path(i - 1) if i > 1 else None)
+        if src and os.path.exists(src):
+            state = load_restart(src, state)
+            first = False
+            log.info("segment %d: restarting from %s", i, src)
+        elif i > 1:
+            raise FileNotFoundError(f"no restart found for segment {i}: {src}")
+
+        dm = None
+        diag_state = None
+        if self.diag_table is not None and self.diag_table.files:
+            p_full_hpa = None
+            p_half_hpa = None
+            core = getattr(model, "core", None)
+            if core is not None and hasattr(core, "pk_np"):
+                ps0 = 1.0e5
+                ph = core.pk_np + core.bk_np * ps0
+                p_half_hpa = ph / 100.0
+                p_full_hpa = 0.5 * (ph[1:] + ph[:-1]) / 100.0
+            dm = DiagManager(
+                self.diag_table,
+                np.degrees(np.asarray(T.lats)), np.degrees(np.asarray(T.lons)),
+                p_full_hpa, p_half_hpa, outdir=rundir,
+            )
+            sample = self.model.diag_fields(state)
+            diag_state = dm.init_state(sample)
+
+        # one jitted scan per diagnostic interval (or per day)
+        freqs = [f.output_freq_seconds for f in (self.diag_table.files.values() if self.diag_table else [])]
+        chunk_seconds = min(freqs) if freqs else 86400
+        steps_per_chunk = max(1, int(round(chunk_seconds / self.dt)))
+        total_steps = int(round(days * 86400.0 / self.dt))
+        n_chunks = max(1, total_steps // steps_per_chunk)
+
+        def chunk(state, diag_state, first):
+            def body(carry, _):
+                s, ds = carry
+                s = model.step(s)
+                if ds is not None:
+                    ds = dm.update(ds, model.diag_fields(s))
+                return (s, ds), None
+
+            nsteps = steps_per_chunk
+            if first:
+                state2 = model.step(state, first=True)
+                if diag_state is not None:
+                    diag_state2 = dm.update(diag_state, model.diag_fields(state2))
+                else:
+                    diag_state2 = None
+                (state2, diag_state2), _ = jax.lax.scan(
+                    body, (state2, diag_state2), None, length=nsteps - 1
+                )
+                return state2, diag_state2
+            (state, diag_state), _ = jax.lax.scan(
+                body, (state, diag_state), None, length=nsteps
+            )
+            return state, diag_state
+
+        chunk_first = jax.jit(lambda s, d: chunk(s, d, True))
+        chunk_rest = jax.jit(lambda s, d: chunk(s, d, False))
+
+        t0 = _time.time()
+        seconds_done = 0.0
+        for ic in range(n_chunks):
+            state, diag_state = (chunk_first if (first and ic == 0) else chunk_rest)(
+                state, diag_state
+            )
+            seconds_done += steps_per_chunk * self.dt
+            if dm is not None:
+                jax.block_until_ready(state)
+                time_days = ((i - 1) * days) + seconds_done / 86400.0
+                diag_state = dm.flush(diag_state, time_days, segment_label="")
+        jax.block_until_ready(state)
+        wall = _time.time() - t0
+        log.info(
+            "segment %d: %d days in %.1fs (%.0f model-days/day)",
+            i, days, wall, days * 86400.0 / max(wall, 1e-9),
+        )
+
+        if dm is not None:
+            dm.close()
+        save_restart(self._restart_path(i), state)
+        with open(os.path.join(rundir, "provenance.json"), "w") as f:
+            json.dump({"segment": i, "days": days, "dt": self.dt,
+                       "wall_seconds": wall}, f)
+        return state

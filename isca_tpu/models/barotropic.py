@@ -215,6 +215,9 @@ class BarotropicModel:
         state, _ = jax.lax.scan(body, state, None, length=num_steps)
         return state
 
+    def diag_fields(self, state: BarotropicState) -> dict[str, jax.Array]:
+        return {"ucomp": state.u.curr, "vcomp": state.v.curr, "vor": state.vorg.curr}
+
     def diagnostics(self, state: BarotropicState) -> dict[str, jax.Array]:
         @jax.jit
         def _diag(state):

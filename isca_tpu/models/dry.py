@@ -55,6 +55,18 @@ class HeldSuarezModel:
         state, _ = jax.lax.scan(body, state, None, length=num_steps)
         return state
 
+    def diag_fields(self, state: PrimitiveState) -> dict[str, jax.Array]:
+        """Standard 'dynamics' module diagnostic fields (SURVEY.md B.2 core set)."""
+        return {
+            "ps": state.psg.curr,
+            "ucomp": state.ug.curr,
+            "vcomp": state.vg.curr,
+            "temp": state.tg.curr,
+            "vor": state.vorg.curr,
+            "div": state.divg.curr,
+            "omega": state.wg_full,
+        }
+
     def diagnostics(self, state: PrimitiveState) -> dict[str, jax.Array]:
         @jax.jit
         def _diag(state):

@@ -143,6 +143,21 @@ class GreyMoistModel:
         state, _ = jax.lax.scan(body, state, None, length=num_steps)
         return state
 
+    def diag_fields(self, state: GreyMoistState) -> dict[str, jax.Array]:
+        """Standard diagnostic fields ('dynamics' + moist additions)."""
+        d = state.dyn
+        return {
+            "ps": d.psg.curr,
+            "ucomp": d.ug.curr,
+            "vcomp": d.vg.curr,
+            "temp": d.tg.curr,
+            "vor": d.vorg.curr,
+            "div": d.divg.curr,
+            "omega": d.wg_full,
+            "sphum": d.tracers["sphum"].curr,
+            "t_surf": state.t_surf,
+        }
+
     def diagnostics(self, state: GreyMoistState) -> dict[str, jax.Array]:
         @jax.jit
         def _diag(state):

@@ -289,6 +289,12 @@ class ShallowModel:
         state, _ = jax.lax.scan(body, state, None, length=num_steps)
         return state
 
+    def diag_fields(self, state: ShallowState) -> dict[str, jax.Array]:
+        return {
+            "ucomp": state.u.curr, "vcomp": state.v.curr,
+            "vor": state.vorg.curr, "div": state.divg.curr, "h": state.hg.curr,
+        }
+
     def diagnostics(self, state: ShallowState) -> dict[str, jax.Array]:
         @jax.jit
         def _diag(state):
