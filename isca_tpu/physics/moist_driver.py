@@ -24,7 +24,14 @@ import jax
 import jax.numpy as jnp
 
 from isca_tpu.constants import Constants, EARTH
+from isca_tpu.physics.damping_driver import DampingDriverConfig, damping_driver
 from isca_tpu.physics.diffusivity import DiffusivityConfig, diffusivity
+from isca_tpu.physics.dry_convection import DryConvectionConfig, dry_convection
+from isca_tpu.physics.giant_planet import (
+    GiantPlanetConfig,
+    gp_surface_flux,
+    rayleigh_bottom_drag,
+)
 from isca_tpu.physics.lscale_cond import LscaleCond, LscaleCondConfig
 from isca_tpu.physics.mixed_layer import (
     MixedLayerConfig,
@@ -44,6 +51,7 @@ class MoistPhysicsConfig:
     turb: bool = True
     do_damping: bool = False
     mixed_layer_bc: bool = True
+    gp_surface: bool = False         # giant-planet lower boundary
     do_simple_sat: bool = True          # sat_vapor_pres do_simple (Frierson)
     roughness_mom: float = 0.05
     roughness_heat: float = 0.05
@@ -56,6 +64,9 @@ class MoistPhysicsConfig:
     surface: SurfaceFluxConfig = SurfaceFluxConfig()
     bl: DiffusivityConfig = DiffusivityConfig(do_simple=True, frac_inner=0.1)
     mixed_layer: MixedLayerConfig = MixedLayerConfig()
+    dry_convection: DryConvectionConfig = DryConvectionConfig()
+    damping: DampingDriverConfig = DampingDriverConfig()
+    giant: GiantPlanetConfig = GiantPlanetConfig()
     constants: Constants = EARTH
 
 
@@ -83,6 +94,7 @@ class MoistPhysics:
         self.ocean_qflux = (
             analytic_qflux(ml, self.lat2d) if ml.do_qflux else jnp.zeros_like(self.lat2d)
         )
+        self.land_mask = None   # optional (nlat, nlon) float mask set by the model
 
     def __call__(
         self,
@@ -113,6 +125,13 @@ class MoistPhysics:
             dt_q = dt_q + conv.deltaq / delta_t
             conv_rain = conv.rain / delta_t
             diag.update(convection_rain=conv_rain, cape=conv.cape, cin=conv.cin)
+        elif cfg.convection_scheme == "DRY":
+            dc = dry_convection(cfg.dry_convection, t_prev, p_full_prev, p_half_prev)
+            dt_t = dt_t + dc.dt_tg
+            tg_tmp = t_prev + dc.dt_tg * delta_t
+            qg_tmp = q_prev
+            conv_rain = jnp.zeros(shape2d, t_prev.dtype)
+            diag.update(cape=dc.cape, cin=dc.cin)
         else:
             tg_tmp, qg_tmp = t_prev, q_prev
             conv_rain = jnp.zeros(shape2d, t_prev.dtype)
@@ -139,17 +158,24 @@ class MoistPhysics:
 
         # ---- surface fluxes (lowest level, previous) ----
         z_surf = z_half_curr[..., -1]
-        sf = surface_flux(
-            cfg.surface, self.svp,
-            t_prev[..., -1], q_prev[..., -1], u_prev[..., -1], v_prev[..., -1],
-            p_full_curr[..., -1], z_full_curr[..., -1] - z_surf,
-            p_half_curr[..., -1], t_surf,
-            jnp.full(shape2d, cfg.roughness_mom, t_prev.dtype),
-            jnp.full(shape2d, cfg.roughness_heat, t_prev.dtype),
-            jnp.full(shape2d, cfg.roughness_moist, t_prev.dtype),
-            jnp.full(shape2d, cfg.gust_const, t_prev.dtype),
-        )
-        diag.update(flux_t=sf.flux_t, flux_lhe=C.hlv * sf.flux_q, u_star=sf.u_star)
+        if not cfg.gp_surface:
+            land = None
+            if self.land_mask is not None:
+                land = self.land_mask > 0.5
+            sf = surface_flux(
+                cfg.surface, self.svp,
+                t_prev[..., -1], q_prev[..., -1], u_prev[..., -1], v_prev[..., -1],
+                p_full_curr[..., -1], z_full_curr[..., -1] - z_surf,
+                p_half_curr[..., -1], t_surf,
+                jnp.full(shape2d, cfg.roughness_mom, t_prev.dtype),
+                jnp.full(shape2d, cfg.roughness_heat, t_prev.dtype),
+                jnp.full(shape2d, cfg.roughness_moist, t_prev.dtype),
+                jnp.full(shape2d, cfg.gust_const, t_prev.dtype),
+                land=land,
+            )
+            diag.update(flux_t=sf.flux_t, flux_lhe=C.hlv * sf.flux_q, u_star=sf.u_star)
+        else:
+            sf = None
 
         # ---- radiation: upward pass (heating added to dt_t) ----
         rad = self.radiation.up(rad_down, p_half_curr, t_surf, albedo)
@@ -158,40 +184,80 @@ class MoistPhysics:
                     lwdn_sfc=rad_down.surf_lw_down, tdt_rad=rad.tdt_rad,
                     coszen=rad_down.coszen)
 
+        # ---- giant-planet lower boundary: interior heat flux + bottom drag ----
+        if cfg.gp_surface:
+            dt_t = gp_surface_flux(cfg.giant, dt_t, p_half_curr)
+            bd = rayleigh_bottom_drag(
+                cfg.giant, delta_t, self.lat2d, u_prev, v_prev,
+                p_half_prev, p_full_prev, dt_u, dt_v, dt_t,
+            )
+            dt_u, dt_v, dt_t = bd.dt_u, bd.dt_v, bd.dt_t
+
+        # ---- upper-atmosphere damping (sponge + GWD seam) ----
+        if cfg.do_damping:
+            dmp = damping_driver(
+                cfg.damping, delta_t, p_full_curr, u_prev, v_prev, dt_u, dt_v, dt_t
+            )
+            dt_u, dt_v, dt_t = dmp.dt_u, dmp.dt_v, dmp.dt_t
+
         if not cfg.turb:
             return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf, diag)
 
         # ---- boundary-layer diffusivities (current == previous fields here;
         #      the driver passes prev since grid lag makes them the same source)
+        if sf is not None:
+            u_star, b_star = sf.u_star, sf.b_star
+        else:
+            u_star = jnp.zeros(shape2d, t_prev.dtype)
+            b_star = jnp.zeros(shape2d, t_prev.dtype)
         bl = diffusivity(
             cfg.bl, t_prev, q_prev, u_prev, v_prev,
             p_full_curr, p_half_curr, z_full_curr - z_surf[..., None],
-            z_half_curr - z_surf[..., None], sf.u_star, sf.b_star,
+            z_half_curr - z_surf[..., None], u_star, b_star,
         )
         diag["z_pbl"] = bl.h_pbl
 
         # ---- vertical diffusion down / mixed layer / up ----
+        zero2 = jnp.zeros(shape2d, t_prev.dtype)
         down = gcm_vert_diff_down(
             C, delta_t,
             u_prev, v_prev, t_prev, q_prev,
             bl.k_m, bl.k_t,
             p_half_curr, p_full_curr, z_full_curr,
-            sf.flux_u, sf.flux_v, sf.dtaudu_atm, sf.dtaudv_atm,
+            sf.flux_u if sf is not None else zero2,
+            sf.flux_v if sf is not None else zero2,
+            sf.dtaudu_atm if sf is not None else zero2,
+            sf.dtaudv_atm if sf is not None else zero2,
             dt_u, dt_v, dt_t, dt_q,
             do_conserve_energy=cfg.do_conserve_energy_diff,
         )
         dt_u, dt_v = down.dt_u, down.dt_v
 
-        ml = mixed_layer_step(
-            cfg.mixed_layer, dt_real, t_surf, down.tri,
-            sf.flux_t, sf.flux_q, sf.flux_r,
-            rad_down.net_surf_sw_down, rad_down.surf_lw_down,
-            sf.dhdt_surf, sf.dedt_surf, sf.dedq_surf, sf.drdt_surf,
-            sf.dhdt_atm, sf.dedq_atm,
-            ocean_qflux=self.ocean_qflux,
-            lats=self.lat2d,
-        )
-        tri = down.tri._replace(delta_t=ml.delta_t, delta_q=ml.delta_q)
+        if cfg.mixed_layer_bc and sf is not None:
+            heat_capacity = None
+            if self.land_mask is not None:
+                C_ml = cfg.mixed_layer
+                hc = C.dens_h2o * 3989.24495292815 * C_ml.depth
+                heat_capacity = jnp.where(
+                    self.land_mask > 0.5, C_ml.land_h_capacity_prefactor * hc, hc
+                )
+            ml = mixed_layer_step(
+                cfg.mixed_layer, dt_real, t_surf, down.tri,
+                sf.flux_t, sf.flux_q, sf.flux_r,
+                rad_down.net_surf_sw_down, rad_down.surf_lw_down,
+                sf.dhdt_surf, sf.dedt_surf, sf.dedq_surf, sf.drdt_surf,
+                sf.dhdt_atm, sf.dedq_atm,
+                ocean_qflux=self.ocean_qflux,
+                heat_capacity=heat_capacity,
+                land_mask=None,
+                lats=self.lat2d,
+            )
+            tri = down.tri._replace(delta_t=ml.delta_t, delta_q=ml.delta_q)
+            t_surf_out = ml.t_surf
+            diag["t_surf"] = ml.t_surf
+        else:
+            # giant-planet / no-slab: zero-exchange closure (reference gp path)
+            tri = down.tri
+            t_surf_out = t_surf
         dt_t, dt_q = gcm_vert_diff_up(delta_t, tri)
-        diag["t_surf"] = ml.t_surf
-        return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, ml.t_surf, diag)
+        return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf_out, diag)
