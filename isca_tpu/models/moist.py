@@ -54,7 +54,7 @@ class GreyMoistConfig:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dyn", "t_surf", "time_seconds"],
+    data_fields=["dyn", "t_surf", "time_seconds", "bucket_depth"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -62,6 +62,7 @@ class GreyMoistState:
     dyn: PrimitiveState
     t_surf: jax.Array
     time_seconds: jax.Array   # model time (s) for seasonal insolation
+    bucket_depth: TwoLevel    # (lat, lon) water depth (m); zeros if bucket off
 
 
 class GreyMoistModel:
@@ -74,6 +75,16 @@ class GreyMoistModel:
         self.core = PrimitiveCore(config.core, tracer_attrs=attrs)
         self.physics = MoistPhysics(config.physics, self.core.T.lats, self.core.T.lons)
         self.surf_geopotential = jnp.zeros(self.core.T.grid_shape, config.core.dtype)
+        self.land_mask = None   # optional (lat, lon) float mask
+
+    def set_land(self, land_mask, surf_geopotential=None):
+        """Attach a land mask (and optionally topography in meters)."""
+        self.land_mask = jnp.asarray(land_mask, self.config.core.dtype)
+        self.physics.land_mask = self.land_mask
+        if surf_geopotential is not None:
+            self.surf_geopotential = (
+                jnp.asarray(surf_geopotential, self.config.core.dtype) * self.core.C.grav
+            )
 
     # ------------------------------------------------------------------
     def initial_state(self) -> GreyMoistState:
@@ -82,8 +93,16 @@ class GreyMoistModel:
         q0 = jnp.full_like(dyn.tracers["sphum"].curr, c.initial_sphum)
         dyn.tracers["sphum"] = TwoLevel(q0, q0)
         t_surf = jnp.full(self.core.T.grid_shape, c.t_surf_init, c.core.dtype)
+        pc = c.physics
+        if pc.bucket and self.land_mask is not None:
+            depth0 = jnp.where(
+                self.land_mask > 0.5, pc.init_bucket_depth_land, pc.init_bucket_depth
+            ).astype(c.core.dtype)
+        else:
+            depth0 = jnp.full(self.core.T.grid_shape, pc.init_bucket_depth, c.core.dtype)
         return GreyMoistState(dyn=dyn, t_surf=t_surf,
-                              time_seconds=jnp.zeros((), jnp.float32))
+                              time_seconds=jnp.zeros((), jnp.float32),
+                              bucket_depth=TwoLevel(depth0, depth0))
 
     # ------------------------------------------------------------------
     def step(self, state: GreyMoistState, first: bool = False) -> GreyMoistState:
@@ -122,7 +141,25 @@ class GreyMoistModel:
             ll(dyn.ug.prev), ll(dyn.vg.prev), ll(dyn.tg.prev), ll(q.prev),
             pf_prev, ph_prev, pf_curr, ph_curr, zf_curr, zh_curr,
             state.t_surf, gmt=gmt, time_since_ae=tsae,
+            bucket_depth=state.bucket_depth.curr,
         )
+
+        # bucket-depth leapfrog (idealized_moist_phys.F90:1343-1372)
+        pc = c.physics
+        if pc.bucket:
+            from isca_tpu.dycore.time_integration import leapfrog as _lf
+            bd = _lf(state.bucket_depth, phys.diagnostics["dt_bucket"] / delta_t,
+                     delta_t, pc.robert_bucket, pc.raw_bucket)
+            bd = TwoLevel(jnp.maximum(bd.prev, 0.0), jnp.maximum(bd.curr, 0.0))
+            if self.land_mask is not None:
+                cap = pc.max_bucket_depth_land
+                bd = TwoLevel(
+                    bd.prev,
+                    jnp.where(self.land_mask > 0.5, jnp.minimum(bd.curr, cap), bd.curr),
+                )
+            bucket_new = bd
+        else:
+            bucket_new = state.bucket_depth
 
         tend = GridTendencies(
             du=lf(phys.dt_u), dv=lf(phys.dt_v), dt=lf(phys.dt_t),
@@ -132,6 +169,7 @@ class GreyMoistModel:
         return GreyMoistState(
             dyn=dyn_new, t_surf=phys.t_surf,
             time_seconds=state.time_seconds + c.core.dt,
+            bucket_depth=bucket_new,
         )
 
     # ------------------------------------------------------------------

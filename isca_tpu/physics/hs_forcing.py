@@ -40,6 +40,20 @@ class HSForcingConfig:
     ks: float = -4.0
     kf: float = -1.0
     do_conserve_energy: bool = True
+    # equilibrium_t_option: 'Held_Suarez' (default) | 'exoplanet'
+    # (exoplanet: T* from instantaneous coszen - tidally-locked/diurnal forcing,
+    # hs_forcing.F90:571-583)
+    equilibrium_t_option: str = "Held_Suarez"
+    # optional localized heating (Isidoro option, hs_forcing.F90:718-769)
+    local_heating_srfamp: float = 0.0      # K/day at the surface
+    local_heating_xwidth: float = 10.0     # degrees
+    local_heating_ywidth: float = 10.0
+    local_heating_xcenter: float = 180.0
+    local_heating_ycenter: float = 45.0
+    local_heating_vert_decay: float = 1.0e4  # Pa
+    # optional boundary-layer tracer source/sink (trflux/trsink)
+    trflux: float = 1.0e-5
+    trsink: float = -4.0
     constants: Constants = EARTH
 
 
@@ -62,15 +76,22 @@ class HSForcing:
         self.t_star_lat = c.t_zero - c.delh * sin_lat**2 - c.eps * sin_lat
         self.tstr = c.t_strat - c.eps * sin_lat
 
-    def __call__(self, u, v, t, p_full, psg) -> GridTendencies:
-        """All fields level-first (L, lat, lon); psg (lat, lon)."""
+    def __call__(self, u, v, t, p_full, psg, coszen=None) -> GridTendencies:
+        """All fields level-first (L, lat, lon); psg (lat, lon).
+
+        coszen: optional instantaneous cosine of the zenith angle (lat, lon)
+        for the 'exoplanet' equilibrium temperature option."""
         c = self.config
         C = c.constants
         kappa = C.rdgas / C.cp_air
 
         p_norm = p_full / c.P00
         ln_p = jnp.log(p_norm)
-        the = self.t_star_lat[None] - c.delv * self.cos_lat_2[None] * ln_p
+        if c.equilibrium_t_option == "exoplanet" and coszen is not None:
+            t_star = c.t_zero - c.delh * (1.0 - coszen) - c.eps * self.sin_lat
+            the = t_star[None] - c.delv * coszen[None] * ln_p
+        else:
+            the = self.t_star_lat[None] - c.delv * self.cos_lat_2[None] * ln_p
         teq = jnp.maximum(the * p_norm**kappa, self.tstr[None])
 
         sigma = p_full / psg[None]
@@ -87,4 +108,34 @@ class HSForcing:
         dt_v = -vfac * v
         if c.do_conserve_energy:
             dt_t = dt_t - (u * dt_u + v * dt_v) / C.cp_air
+
+        if c.local_heating_srfamp != 0.0:
+            dt_t = dt_t + self.local_heating(p_full, psg)
         return GridTendencies(du=dt_u, dv=dt_v, dt=dt_t)
+
+    def local_heating(self, p_full, psg):
+        """Isidoro-option localized heating: Gaussian in lon/lat, decaying
+        exponentially with pressure depth (hs_forcing.F90:718-769)."""
+        c = self.config
+        amp = c.local_heating_srfamp / 86400.0   # K/day -> K/s
+        # lat factor from stored sin_lat; build lon on demand
+        import numpy as _np
+        lat_deg = jnp.degrees(jnp.arcsin(self.sin_lat[:, 0]))[:, None]
+        nlon = p_full.shape[-1]
+        lon_deg = jnp.linspace(0.0, 360.0, nlon, endpoint=False)[None, :]
+        dlon = jnp.abs(lon_deg - c.local_heating_xcenter)
+        dlon = jnp.minimum(dlon, 360.0 - dlon)
+        lonf = jnp.exp(-0.5 * (dlon / c.local_heating_xwidth) ** 2)
+        latf = jnp.exp(-0.5 * ((lat_deg - c.local_heating_ycenter) / c.local_heating_ywidth) ** 2)
+        pfac = jnp.exp((p_full - psg[None]) / c.local_heating_vert_decay)
+        return amp * (lonf * latf)[None] * pfac
+
+    def tracer_source_sink(self, r, p_half):
+        """Surface-flux source + uniform sink for the optional HS tracer
+        (hs_forcing.F90:683-716). Level-first arrays; p_half (L+1, lat, lon)."""
+        c = self.config
+        rdamp = c.trsink * (-86400.0 if c.trsink < 0 else 1.0)
+        rdamp = 1.0 / rdamp if rdamp != 0 else 0.0
+        pmass = p_half[-1] - p_half[-2]
+        source = jnp.zeros_like(r).at[-1].set(c.trflux / pmass)
+        return source - rdamp * r

@@ -52,6 +52,13 @@ class MoistPhysicsConfig:
     do_damping: bool = False
     mixed_layer_bc: bool = True
     gp_surface: bool = False         # giant-planet lower boundary
+    # Manabe bucket hydrology (idealized_moist_phys.F90:147-155)
+    bucket: bool = False
+    init_bucket_depth: float = 1000.0
+    init_bucket_depth_land: float = 20.0
+    max_bucket_depth_land: float = 0.15
+    robert_bucket: float = 0.04
+    raw_bucket: float = 0.53
     do_simple_sat: bool = True          # sat_vapor_pres do_simple (Frierson)
     roughness_mom: float = 0.05
     roughness_heat: float = 0.05
@@ -106,6 +113,7 @@ class MoistPhysics:
         p_full_curr, p_half_curr, z_full_curr, z_half_curr,
         t_surf,
         gmt=0.0, time_since_ae=0.0,
+        bucket_depth=None,      # (lat, lon) at `current` when cfg.bucket
     ) -> MoistPhysicsResult:
         cfg, C = self.config, self.C
         L = t_prev.shape[-1]
@@ -124,6 +132,7 @@ class MoistPhysics:
             dt_t = dt_t + conv.deltaT / delta_t
             dt_q = dt_q + conv.deltaq / delta_t
             conv_rain = conv.rain / delta_t
+            depth_change_conv = conv.rain / C.dens_h2o
             diag.update(convection_rain=conv_rain, cape=conv.cape, cin=conv.cin)
         elif cfg.convection_scheme == "DRY":
             dc = dry_convection(cfg.dry_convection, t_prev, p_full_prev, p_half_prev)
@@ -131,10 +140,12 @@ class MoistPhysics:
             tg_tmp = t_prev + dc.dt_tg * delta_t
             qg_tmp = q_prev
             conv_rain = jnp.zeros(shape2d, t_prev.dtype)
+            depth_change_conv = jnp.zeros(shape2d, t_prev.dtype)
             diag.update(cape=dc.cape, cin=dc.cin)
         else:
             tg_tmp, qg_tmp = t_prev, q_prev
             conv_rain = jnp.zeros(shape2d, t_prev.dtype)
+            depth_change_conv = jnp.zeros(shape2d, t_prev.dtype)
 
         # ---- large-scale condensation ----
         if cfg.convection_scheme != "DRY":
@@ -142,9 +153,11 @@ class MoistPhysics:
             dt_t = dt_t + cond.tdel / delta_t
             dt_q = dt_q + cond.qdel / delta_t
             cond_rain = (cond.rain + cond.snow) / delta_t
+            depth_change_cond = cond.rain / C.dens_h2o
             diag.update(condensation_rain=cond_rain)
         else:
             cond_rain = jnp.zeros(shape2d, t_prev.dtype)
+            depth_change_cond = jnp.zeros(shape2d, t_prev.dtype)
         diag["precipitation"] = conv_rain + cond_rain
 
         # ---- radiation: downward pass ----
@@ -172,6 +185,9 @@ class MoistPhysics:
                 jnp.full(shape2d, cfg.roughness_moist, t_prev.dtype),
                 jnp.full(shape2d, cfg.gust_const, t_prev.dtype),
                 land=land,
+                bucket_depth=bucket_depth if cfg.bucket else None,
+                max_bucket_depth_land=cfg.max_bucket_depth_land,
+                dt=delta_t,
             )
             diag.update(flux_t=sf.flux_t, flux_lhe=C.hlv * sf.flux_q, u_star=sf.u_star)
         else:
@@ -260,4 +276,7 @@ class MoistPhysics:
             tri = down.tri
             t_surf_out = t_surf
         dt_t, dt_q = gcm_vert_diff_up(delta_t, tri)
+        if cfg.bucket and sf is not None:
+            depth_change_lh = sf.flux_q * delta_t / C.dens_h2o
+            diag["dt_bucket"] = depth_change_cond + depth_change_conv - depth_change_lh
         return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf_out, diag)

@@ -68,8 +68,16 @@ def surface_flux(
     rough_mom, rough_heat, rough_moist,
     gust,
     land=None,
+    bucket_depth=None,
+    max_bucket_depth_land: float = 0.15,
+    dt: float = 0.0,
 ) -> SurfaceFluxes:
-    """All inputs are 2-D surface fields (lowest model level / surface)."""
+    """All inputs are 2-D surface fields (lowest model level / surface).
+
+    With `bucket_depth` (m of water, land points), evaporation follows the
+    Manabe bucket model (surface_flux.F90:575-609): scaled by
+    depth/(0.75 max_depth) below 75% capacity, zero from an empty bucket, and
+    capped at the available water over the step dt."""
     C = cfg.constants
     kappa = C.rdgas / C.cp_air
     d622 = C.rdgas / C.rvgas
@@ -126,9 +134,29 @@ def surface_flux(
     dhdt_atm = -rho_drag_t * p_ratio
 
     rho_drag_q = drag_q * rho
-    if land is None:
+    if bucket_depth is not None:
+        land_b = land if land is not None else jnp.zeros_like(t_surf, bool)
+        q_surf_b = jnp.where(bucket_depth <= 0.0, q_atm, q_surf0)
+        cap = max_bucket_depth_land * 0.75
+        scale = jnp.where(
+            land_b & (bucket_depth < cap), bucket_depth / cap, 1.0
+        )
+        flux_q = scale * rho_drag_q * (q_surf_b - q_atm)
+        # cap evaporation at the available bucket water over dt
+        avail = bucket_depth * C.dens_h2o / jnp.maximum(dt, 1e-30)
+        over = (flux_q > 0.0) & (flux_q * dt / C.dens_h2o > bucket_depth)
+        flux_q = jnp.where(over, avail, flux_q)
+        dedt_surf = jnp.where(
+            bucket_depth <= 0.0, 0.0,
+            scale * rho_drag_q * (q_sat1 - q_sat) / del_temp,
+        )
+        dedq_atm = jnp.where(bucket_depth <= 0.0, 0.0, -rho_drag_q)
+        dedq_surf = jnp.zeros_like(flux_q)
+    elif land is None:
         flux_q = rho_drag_q * (q_surf0 - q_atm)
         dedt_surf = rho_drag_q * (q_sat1 - q_sat) / del_temp
+        dedq_surf = jnp.zeros_like(flux_q)
+        dedq_atm = -rho_drag_q
     else:
         le, lh = cfg.land_evap_prefactor, cfg.land_humidity_prefactor
         flux_q = jnp.where(
@@ -141,8 +169,8 @@ def surface_flux(
             rho_drag_q * le * (lh * q_sat1 - q_sat) / del_temp,
             rho_drag_q * (q_sat1 - q_sat) / del_temp,
         )
-    dedq_surf = jnp.zeros_like(flux_q)
-    dedq_atm = -rho_drag_q
+        dedq_surf = jnp.zeros_like(flux_q)
+        dedq_atm = -rho_drag_q
 
     q_star = flux_q / (u_star * rho)
     q_surf_out = q_atm + flux_q / (rho * cd_q * w_atm)

@@ -62,3 +62,31 @@ class TestGreyMoist:
         s = model.initial_state()
         s = jax.jit(lambda s: model.run(s, 72))(s)
         assert np.isfinite(float(model.diagnostics(s)["tmax"]))
+
+
+class TestLandAndBucket:
+    def test_bucket_continents_run(self):
+        from isca_tpu.utils.topography import land_mask, gaussian_topography
+        import numpy as np
+        from isca_tpu.physics.moist_driver import MoistPhysicsConfig
+
+        model = small_model(bucket=True)
+        T = model.core.T
+        lats = np.degrees(np.asarray(T.lats))
+        lons = np.degrees(np.asarray(T.lons))
+        lm = land_mask(lons, lats, "continents")
+        topo = gaussian_topography(lons, lats, height=1500.0, olon=60.0, olat=45.0) * lm
+        model.set_land(lm, surf_geopotential=topo)
+        s = model.initial_state()
+        # land starts with the land bucket depth
+        bd = np.asarray(s.bucket_depth.curr)
+        assert bd[lm > 0.5].max() <= 20.0 + 1e-6
+        assert bd[lm < 0.5].min() >= 999.0
+        s = jax.jit(lambda s: model.run(s, 72 * 2))(s)
+        d = model.diagnostics(s)
+        assert np.isfinite(float(d["tmax"]))
+        bd = np.asarray(s.bucket_depth.curr)
+        assert np.isfinite(bd).all()
+        assert bd.min() >= 0.0
+        # land buckets clamped at max depth
+        assert bd[lm > 0.5].max() <= 0.15 + 20.0  # may not have rained down yet
