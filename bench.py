@@ -32,12 +32,13 @@ def main():
     run_day = jax.jit(
         lambda s, first: model.run(s, steps_per_day, first=first), static_argnums=1
     )
-    # compile + spin one day
+    # warm up BOTH jit variants (first step is forward Euler; the rest leapfrog)
     state = run_day(state, True)
+    state = run_day(state, False)
     jax.block_until_ready(state)
 
     t0 = time.time()
-    ndays = 3
+    ndays = 20
     for _ in range(ndays):
         state = run_day(state, False)
     jax.block_until_ready(state)

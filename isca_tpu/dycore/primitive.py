@@ -331,8 +331,10 @@ class PrimitiveCore:
 
         # ---- pressure variables and gradients at `current` ----
         p_half, ln_p_half, p_full, ln_p_full = self.pressure_variables(state.psg.curr)
-        dx_lnps = tr.spec_to_grid(T, tr.ddx_spec(T, state.lnps.curr))
-        dy_lnps = tr.spec_to_grid(T, tr.cos_dlat_coeffs(T, state.lnps.curr))
+        grads = tr.spec_to_grid(T, jnp.stack(
+            [tr.ddx_spec(T, state.lnps.curr), tr.cos_dlat_coeffs(T, state.lnps.curr)],
+            axis=0))
+        dx_lnps, dy_lnps = grads[0], grads[1]
         coslat = T.coslat[:, None].astype(c.dtype)
         dx_psg = state.psg.curr * dx_lnps / (T.radius * coslat)
         dy_psg = state.psg.curr * dy_lnps / (T.radius * coslat)
@@ -373,7 +375,6 @@ class PrimitiveCore:
 
         # horizontal advection of T (advective form from spectral gradient)
         dt_tg = dt_tg + tr.horizontal_advection(T, state.ts.curr, state.ug.curr, state.vg.curr)
-        dt_ts = tr.grid_to_spec(T, dt_tg)
 
         # rotational terms and conversion to (vor, div) tendencies
         abs_vor = state.vorg.curr + self.coriolis[None]
@@ -381,9 +382,11 @@ class PrimitiveCore:
         dt_vg = dt_vg - abs_vor * state.ug.curr
         dt_vors, dt_divs = tr.vor_div_from_uv_grid(T, dt_ug, dt_vg)
 
-        # energy + geopotential Laplacian in divergence equation
+        # batched analysis: T tendency + (Phi + KE) in one transform
         phi_plus_ke = phig_full + 0.5 * (state.ug.curr**2 + state.vg.curr**2)
-        dt_divs = dt_divs - tr.laplacian(T, tr.grid_to_spec(T, phi_plus_ke))
+        both = tr.grid_to_spec(T, jnp.concatenate([dt_tg, phi_plus_ke], axis=0))
+        dt_ts = both[: c.num_levels]
+        dt_divs = dt_divs - tr.laplacian(T, both[c.num_levels :])
 
         # semi-implicit correction
         if c.use_implicit:
@@ -406,12 +409,17 @@ class PrimitiveCore:
         divs, P_divs = leapfrog_part_a(state.divs, dt_divs, delta_t, rc, rw)
         ts, P_ts = leapfrog_part_a(state.ts, dt_ts, delta_t, rc, rw)
 
-        # ---- synthesize future grid fields ----
-        divg_f = tr.spec_to_grid(T, divs.curr)
-        vorg_f = tr.spec_to_grid(T, vors.curr)
+        # ---- synthesize future grid fields (one batched transform) ----
+        L = c.num_levels
+        stacked = jnp.concatenate(
+            [divs.curr, vors.curr, ts.curr, lnps.curr[None]], axis=0
+        )
+        synth = tr.spec_to_grid(T, stacked)
+        divg_f = synth[:L]
+        vorg_f = synth[L : 2 * L]
+        tg_f = synth[2 * L : 3 * L]
+        psg_f = jnp.exp(synth[3 * L])
         ug_f, vg_f = tr.uv_grid_from_vor_div(T, vors.curr, divs.curr)
-        tg_f = tr.spec_to_grid(T, ts.curr)
-        psg_f = jnp.exp(tr.spec_to_grid(T, lnps.curr))
 
         # ---- tracers (update_tracers, spectral_dynamics.F90:1116-1188) ----
         new_tracers = dict(state.tracers)

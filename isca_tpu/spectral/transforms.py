@@ -360,9 +360,9 @@ def uv_grid_from_vor_div(
     U = T.radius * (im_inv * divs + cm * _shift_up(vors) + cp * _shift_down(vors))
     V = T.radius * (im_inv * vors - cm * _shift_up(divs) - cp * _shift_down(divs))
     coslat = T.coslat[:, None]
-    u = spec_to_grid(T, U) / coslat
-    v = spec_to_grid(T, V) / coslat
-    return u, v
+    # one batched synthesis for both wind components (bigger MXU matmuls)
+    UV = spec_to_grid(T, jnp.stack([U, V], axis=0))
+    return UV[0] / coslat, UV[1] / coslat
 
 
 def vor_div_from_uv_grid(
@@ -377,8 +377,8 @@ def vor_div_from_uv_grid(
     (reference divides the grid fields by cos^2 and transforms u*cos: identical.)
     """
     coslat = T.coslat[:, None]
-    A = grid_to_spec(T, u / coslat, truncate=False)
-    B = grid_to_spec(T, v / coslat, truncate=False)
+    AB = grid_to_spec(T, jnp.stack([u / coslat, v / coslat], axis=0), truncate=False)
+    A, B = AB[0], AB[1]
 
     im = T.vd_im.astype(A.dtype) * 1j
     c_dn = T.vd_dn.astype(A.dtype)        # multiplies x_{n+1}
@@ -402,10 +402,11 @@ def horizontal_advection(
       dyf = synth(H f)          ( = cos(lat) * df/dlat )
       adv = -(u dxf + v dyf) / (a cos(lat))
     """
-    dxf = spec_to_grid(T, ddx_spec(T, f_spec))
-    dyf = spec_to_grid(T, cos_dlat_coeffs(T, f_spec))
+    grads = spec_to_grid(
+        T, jnp.stack([ddx_spec(T, f_spec), cos_dlat_coeffs(T, f_spec)], axis=0)
+    )
     coslat = T.coslat[:, None]
-    return -(u * dxf + v * dyf) / (T.radius * coslat)
+    return -(u * grads[0] + v * grads[1]) / (T.radius * coslat)
 
 
 def area_weighted_mean(T: SphericalTransforms, g: jax.Array) -> jax.Array:
