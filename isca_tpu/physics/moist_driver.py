@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from isca_tpu.constants import Constants, EARTH
+from isca_tpu.physics.betts_miller import BettsMiller, BettsMillerConfig
 from isca_tpu.physics.damping_driver import DampingDriverConfig, damping_driver
 from isca_tpu.physics.diffusivity import DiffusivityConfig, diffusivity
 from isca_tpu.physics.dry_convection import DryConvectionConfig, dry_convection
@@ -47,7 +48,7 @@ from isca_tpu.physics.vert_diff import gcm_vert_diff_down, gcm_vert_diff_up
 
 @dataclasses.dataclass(frozen=True)
 class MoistPhysicsConfig:
-    convection_scheme: str = "SIMPLE_BETTS_MILLER"   # | NONE | DRY
+    convection_scheme: str = "SIMPLE_BETTS_MILLER"   # | FULL_BETTS_MILLER | NONE | DRY
     turb: bool = True
     do_damping: bool = False
     mixed_layer_bc: bool = True
@@ -72,6 +73,7 @@ class MoistPhysicsConfig:
     bl: DiffusivityConfig = DiffusivityConfig(do_simple=True, frac_inner=0.1)
     mixed_layer: MixedLayerConfig = MixedLayerConfig()
     dry_convection: DryConvectionConfig = DryConvectionConfig()
+    betts_miller: BettsMillerConfig = BettsMillerConfig()
     damping: DampingDriverConfig = DampingDriverConfig()
     giant: GiantPlanetConfig = GiantPlanetConfig()
     constants: Constants = EARTH
@@ -93,6 +95,7 @@ class MoistPhysics:
         self.C = config.constants
         self.svp = SatVaporPres(constants=self.C, do_simple=config.do_simple_sat)
         self.convection = QEMoistConvection(config.convection, self.svp)
+        self.betts_miller = BettsMiller(config.betts_miller, self.svp)
         self.condensation = LscaleCond(config.condensation, self.svp)
         self.radiation = TwoStreamGray(config.radiation)
         self.lat2d = lats[:, None] * jnp.ones_like(lons)[None, :]
@@ -125,8 +128,10 @@ class MoistPhysics:
         diag = {}
 
         # ---- convection ----
-        if cfg.convection_scheme == "SIMPLE_BETTS_MILLER":
-            conv = self.convection(delta_t, t_prev, q_prev, p_full_prev, p_half_prev)
+        if cfg.convection_scheme in ("SIMPLE_BETTS_MILLER", "FULL_BETTS_MILLER"):
+            scheme = (self.convection if cfg.convection_scheme == "SIMPLE_BETTS_MILLER"
+                      else self.betts_miller)
+            conv = scheme(delta_t, t_prev, q_prev, p_full_prev, p_half_prev)
             tg_tmp = t_prev + conv.deltaT
             qg_tmp = q_prev + conv.deltaq
             dt_t = dt_t + conv.deltaT / delta_t

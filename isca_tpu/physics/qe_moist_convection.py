@@ -88,9 +88,14 @@ class QEMoistConvection:
         b = (C.hlv**2) * r / (C.cp_air * C.rvgas * t * t)
         return a / (1.0 + b)
 
-    # -- main ---------------------------------------------------------
-    def __call__(self, dt, tin, qin, p_full, p_half) -> ConvectionResult:
-        """All inputs level-last (..., L) / (..., L+1)."""
+    # -- parcel ascent (shared with the full Betts-Miller scheme) ------
+    def ascent(self, tin, qin, p_full, p_half):
+        """Parcel ascent from the lowest level.
+
+        Returns (tp, rp, cape, cin, klzb) with tp/rp the parcel profile
+        (environment values where the ascent is inactive), klzb = 0 where no
+        convection (no cape / failed columns).
+        """
         cfg, C, svp = self.config, self.C, self.svp
         kappa = C.rdgas / C.cp_air
         pref = 1.0e5
@@ -234,6 +239,15 @@ class QEMoistConvection:
         klzb = jnp.where(jnp.logical_or(failed, nocape), 0, klzb)
         tp = jnp.where(failed[..., None], tin, tp)
         rp = jnp.where(failed[..., None], rin, rp)
+        return tp, rp, cape, cin, klzb
+
+    # -- main ---------------------------------------------------------
+    def __call__(self, dt, tin, qin, p_full, p_half) -> ConvectionResult:
+        """All inputs level-last (..., L) / (..., L+1)."""
+        cfg, C, svp = self.config, self.C, self.svp
+        L = tin.shape[-1]
+        rin = qin / (1.0 - qin)
+        tp, rp, cape, cin, klzb = self.ascent(tin, qin, p_full, p_half)
 
         has_cape = jnp.logical_and(cape > 0.0, klzb > 0)
 

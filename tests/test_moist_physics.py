@@ -315,3 +315,57 @@ class TestVertDiffChain:
             zero, zero, zero, zero + 4 * C.stefan * 290.0**3, zero, zero,
         )
         assert (np.asarray(r.delta_t_surf) > 0).all()
+
+
+class TestFullBettsMiller:
+    def make(self, **kw):
+        from isca_tpu.physics.betts_miller import BettsMiller, BettsMillerConfig
+        svp = SatVaporPres(do_simple=True)
+        return BettsMiller(BettsMillerConfig(**kw), svp)
+
+    def test_deep_convection_rains(self):
+        bm = self.make()
+        t, q, pf, ph = moist_adiabat_column()
+        r = bm(1200.0, t, q, pf, ph)
+        assert float(r.cape[0]) > 0.0
+        assert int(r.convflag[0]) == 2
+        assert float(r.rain[0]) > 0.0
+
+    def test_default_no_shallow(self):
+        # Pt>0, Pq<=0 with both shallow options off -> no convection at all
+        bm = self.make()
+        t, pf, ph, _ = column_profile(t_sfc=302.0, lapse=8.0e-3)
+        svp = SatVaporPres(do_simple=True)
+        q = 0.9 * svp.qs(t, pf)
+        r = bm(1200.0, t, q, pf, ph)
+        assert float(r.rain[0]) == 0.0
+        np.testing.assert_allclose(np.asarray(r.deltaT), 0.0, atol=1e-12)
+
+    def test_changeqref_zero_precip(self):
+        bm = self.make(do_changeqref=True)
+        t, pf, ph, _ = column_profile(t_sfc=302.0, lapse=8.0e-3)
+        svp = SatVaporPres(do_simple=True)
+        q = 0.9 * svp.qs(t, pf)
+        r = bm(1200.0, t, q, pf, ph)
+        # adjustment happens but with zero net moisture change
+        dp = np.asarray(ph)[0, 1:] - np.asarray(ph)[0, :-1]
+        dq_int = (np.asarray(r.deltaq)[0] * dp).sum()
+        scale = (np.abs(np.asarray(r.deltaq)[0]) * dp).sum() + 1e-14
+        if scale > 1e-12:
+            assert abs(dq_int) / scale < 1e-4
+
+    def test_taucape_shortens_tau(self):
+        bm_fix = self.make()
+        bm_cape = self.make(do_taucape=True, capetaubm=900.0, tau_min=600.0)
+        t, q, pf, ph = moist_adiabat_column()
+        r1 = bm_fix(1200.0, t, q, pf, ph)
+        r2 = bm_cape(1200.0, t, q, pf, ph)
+        assert np.isfinite(np.asarray(r2.deltaT)).all()
+
+    def test_model_runs_with_full_bm(self):
+        import jax
+        from tests.test_moist_model import small_model
+        model = small_model(convection_scheme="FULL_BETTS_MILLER")
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 48))(s)
+        assert np.isfinite(float(model.diagnostics(s)["tmax"]))
