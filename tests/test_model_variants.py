@@ -111,3 +111,61 @@ class TestGiantPlanet:
         d = model.diagnostics(s)
         assert np.isfinite(float(d["tmax"]))
         assert 50.0 < float(d["tmin"]) and float(d["tmax"]) < 800.0
+
+
+import os
+import pytest
+
+_ERA5_TOPO = "/root/reference/input/era5_smoothed_topography_land_masks/era-spectral_T42_64x128.nc"
+_ERA_LAND = "/root/reference/input/land_masks/era_land_t42.nc"
+
+
+@pytest.mark.skipif(not os.path.exists(_ERA5_TOPO), reason="reference inputs absent")
+class TestRealisticContinents:
+    def test_load_and_regrid_era5(self):
+        from isca_tpu.utils.input_files import load_topography, read_netcdf
+        T = tr.make_transforms("T42", dtype=jnp.float64)
+        lats = np.degrees(np.asarray(T.lats))
+        lons = np.degrees(np.asarray(T.lons))
+        z = load_topography(_ERA5_TOPO, lats, lons)
+        assert z.shape == (64, 128)
+        assert 1000 < z.max() < 7000   # Himalaya-ish after spectral smoothing
+        lm = load_topography(_ERA_LAND, lats, lons, var="land_mask")
+        assert 0.2 < lm.mean() < 0.4   # ~30% land
+        # orientation check: high topography in the NH (Tibet ~ 30-40N)
+        nh = z[lats > 20].max()
+        sh = z[(lats < -20) & (lats > -60)].max()
+        assert nh > sh
+
+    def test_realistic_earth_model_runs(self):
+        """Realistic-Earth configuration: ERA5 topography + land + seasons."""
+        from isca_tpu.utils.input_files import load_topography
+        from isca_tpu.dycore.primitive import PrimitiveConfig
+        from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+        from isca_tpu.physics.moist_driver import MoistPhysicsConfig
+        from isca_tpu.physics.two_stream_gray import TwoStreamConfig
+
+        core = PrimitiveConfig(
+            resolution="T21", num_levels=12, dt=900.0, dtype=jnp.float64,
+            vert_coord_option="uneven_sigma",
+            vert_coord_kwargs=(("scale_heights", 6.0), ("surf_res", 0.5),
+                               ("exponent", 7.5)),
+            do_water_correction=True, water_correction_limit=200.0e2,
+            robert_coeff=0.03,
+        )
+        phys = MoistPhysicsConfig(
+            bucket=True,
+            radiation=TwoStreamConfig(do_seasonal=True, use_time_average_coszen=True),
+        )
+        model = GreyMoistModel(GreyMoistConfig(core=core, physics=phys))
+        T = model.core.T
+        lats = np.degrees(np.asarray(T.lats))
+        lons = np.degrees(np.asarray(T.lons))
+        z = load_topography(_ERA5_TOPO, lats, lons)
+        lm = (load_topography(_ERA_LAND, lats, lons, var="land_mask") > 0.5).astype(float)
+        model.set_land(lm, surf_geopotential=np.maximum(z, 0.0) * lm)
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 96))(s)
+        d = model.diagnostics(s)
+        assert np.isfinite(float(d["tmax"]))
+        assert 140.0 < float(d["tmin"]) and float(d["tmax"]) < 350.0
