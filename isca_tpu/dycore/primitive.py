@@ -39,6 +39,7 @@ from isca_tpu.dycore import vert_coordinate as vc
 from isca_tpu.dycore.damping import apply_damping, apply_top_sponge, make_damping
 from isca_tpu.dycore.implicit import build_implicit, implicit_correction
 from isca_tpu.dycore.time_integration import TwoLevel, leapfrog_part_a, leapfrog_part_b
+from isca_tpu.dycore.water_borrowing import water_borrowing
 from isca_tpu.spectral import transforms as tr
 
 
@@ -446,6 +447,8 @@ class PrimitiveCore:
                 dt_tr = dt_tr + _lev_first(
                     va.vert_advection(delta_t, w_l, dp_l, _lev_last(lev), attr.vert_scheme)
                 )
+                if attr.hole_filling:
+                    dt_tr = water_borrowing(dt_tr, trg.prev, p_half, delta_t)
                 dt_trs = tr.grid_to_spec(T, dt_tr)
                 dt_trs = apply_damping(self.damping, trs.prev, dt_trs, delta_t)
                 trs_new, P_trs = leapfrog_part_a(trs, dt_trs, delta_t, rc_t, rw)

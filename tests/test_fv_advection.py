@@ -117,3 +117,23 @@ class TestDycoreTracer:
         dye = np.asarray(s.tracers["dye"].curr)
         assert np.isfinite(dye).all()
         assert dye.min() > -1e-6 and dye.max() < 1.2
+
+
+class TestWaterBorrowing:
+    def test_holes_filled_conservatively(self):
+        from isca_tpu.dycore.water_borrowing import water_borrowing
+        L, nlat, nlon = 4, 8, 16
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.uniform(0.001, 0.01, (L, nlat, nlon)))
+        q = q.at[2, 4, 7].set(-0.002).at[1, 2, 3].set(-0.001)
+        ph = jnp.asarray(np.broadcast_to(
+            np.linspace(0, 1e5, L + 1)[:, None, None], (L + 1, nlat, nlon)).copy())
+        dp = ph[1:] - ph[:-1]
+        dt = 600.0
+        dq = water_borrowing(jnp.zeros_like(q), q, ph, dt)
+        q2 = q + dt * dq
+        assert float(q2.min()) >= -1e-12
+        # water mass conserved
+        w0 = float((q * dp).sum())
+        w1 = float((q2 * dp).sum())
+        np.testing.assert_allclose(w1, w0, rtol=1e-10)
