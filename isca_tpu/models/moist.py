@@ -142,6 +142,7 @@ class GreyMoistModel:
             pf_prev, ph_prev, pf_curr, ph_curr, zf_curr, zh_curr,
             state.t_surf, gmt=gmt, time_since_ae=tsae,
             bucket_depth=state.bucket_depth.curr,
+            time_seconds=state.time_seconds,
         )
 
         # bucket-depth leapfrog (idealized_moist_phys.F90:1343-1372)

@@ -105,6 +105,8 @@ class MoistPhysics:
             analytic_qflux(ml, self.lat2d) if ml.do_qflux else jnp.zeros_like(self.lat2d)
         )
         self.land_mask = None   # optional (nlat, nlon) float mask set by the model
+        self.co2_series = None   # optional TimeSeries of CO2 ppmv
+        self.sst_series = None   # optional TimeSeries of prescribed SSTs (lat, lon)
 
     def __call__(
         self,
@@ -117,6 +119,7 @@ class MoistPhysics:
         t_surf,
         gmt=0.0, time_since_ae=0.0,
         bucket_depth=None,      # (lat, lon) at `current` when cfg.bucket
+        time_seconds=0.0,       # model time for time-varying inputs
     ) -> MoistPhysicsResult:
         cfg, C = self.config, self.C
         L = t_prev.shape[-1]
@@ -169,9 +172,11 @@ class MoistPhysics:
         albedo = jnp.full(shape2d, cfg.mixed_layer.albedo_value, t_prev.dtype)
         dt_rad_avg = cfg.radiation.dt_rad_avg if cfg.radiation.dt_rad_avg > 0 else dt_real
         dt_rad_radians = dt_rad_avg / C.seconds_per_day * 2.0 * jnp.pi
+        co2 = self.co2_series.at(time_seconds) if self.co2_series is not None else None
         rad_down = self.radiation.down(
             self.lat2d, self.lon2d, p_half_curr, t_prev, q_prev, albedo,
             gmt=gmt, time_since_ae=time_since_ae, dt_rad_avg=dt_rad_radians,
+            carbon_conc=co2,
         )
 
         # ---- surface fluxes (lowest level, previous) ----
@@ -271,6 +276,8 @@ class MoistPhysics:
                 ocean_qflux=self.ocean_qflux,
                 heat_capacity=heat_capacity,
                 land_mask=None,
+                sst_prescribed=(self.sst_series.at(time_seconds)
+                                if self.sst_series is not None else None),
                 lats=self.lat2d,
             )
             tri = down.tri._replace(delta_t=ml.delta_t, delta_q=ml.delta_q)

@@ -130,9 +130,13 @@ class TwoStreamGray:
 
     # ---------------- downward pass --------------------------------
     def down(self, lat, lon, p_half, t, q, albedo, gmt=0.0, time_since_ae=0.0,
-             dt_rad_avg=None) -> RadDownResult:
-        """lat/lon (...,) broadcastable to columns; p_half (..., L+1); t,q (..., L)."""
+             dt_rad_avg=None, carbon_conc=None) -> RadDownResult:
+        """lat/lon (...,) broadcastable to columns; p_half (..., L+1); t,q (..., L).
+
+        carbon_conc: optional runtime CO2 concentration (ppmv scalar; e.g. from a
+        time-varying series), overriding cfg.carbon_conc (byrne/geen schemes)."""
         cfg, C = self.config, self.C
+        co2 = cfg.carbon_conc if carbon_conc is None else carbon_conc
         scheme = cfg.rad_scheme.lower()
         L = t.shape[-1]
         p0 = C.pstd_mks
@@ -160,7 +164,7 @@ class TwoStreamGray:
                 q_k, dpn = q_k_dp
                 sw_wv = tau_k + 0.5194
                 sw_wv = jnp.exp(0.01887 / (tau_k + 0.009522) + 1.603 / (sw_wv * sw_wv))
-                dtau = (0.0596 + 0.0029 * jnp.log(cfg.carbon_conc / 360.0)
+                dtau = (0.0596 + 0.0029 * jnp.log(co2 / 360.0)
                         + sw_wv * q_k) * dpn
                 return tau_k + dtau, jnp.exp(-dtau)
             dpn = (p_half[..., 1:] - p_half[..., :-1]) / p_half[..., -1:]
@@ -187,11 +191,11 @@ class TwoStreamGray:
         lw_dtrans_win = jnp.ones_like(b_full)
         dp = p_half[..., 1:] - p_half[..., :-1]
         if scheme == "geen":
-            dtau = (cfg.ir_tau_co2 + 0.2023 * jnp.log(cfg.carbon_conc / 360.0)
+            dtau = (cfg.ir_tau_co2 + 0.2023 * jnp.log(co2 / 360.0)
                     + cfg.ir_tau_wv1 * jnp.log(cfg.ir_tau_wv2 * q + 1.0)
                     ) * dp / cfg.pstd_mks_earth
             lw_dtrans = jnp.exp(-dtau)
-            dtau_w = (cfg.ir_tau_co2_win + 0.0954 * jnp.log(cfg.carbon_conc / 360.0)
+            dtau_w = (cfg.ir_tau_co2_win + 0.0954 * jnp.log(co2 / 360.0)
                       + cfg.ir_tau_wv_win1 * q + cfg.ir_tau_wv_win2 * q * q
                       ) * dp / cfg.pstd_mks_earth
             lw_dtrans_win = jnp.exp(-dtau_w)
@@ -202,7 +206,7 @@ class TwoStreamGray:
                 + _cumulative_down(lw_dtrans_win, b_win, jnp.zeros_like(t[..., 0]))
             )
         elif scheme == "byrne":
-            dtau = (cfg.bog_a * cfg.bog_mu + 0.17 * jnp.log(cfg.carbon_conc / 360.0)
+            dtau = (cfg.bog_a * cfg.bog_mu + 0.17 * jnp.log(co2 / 360.0)
                     + cfg.bog_b * q) * dp / cfg.pstd_mks_earth
             lw_dtrans = jnp.exp(-dtau)
             b = b_full

@@ -97,3 +97,60 @@ class TestExperiment:
         np.testing.assert_allclose(
             np.asarray(s_chained.tg.curr), np.asarray(s_direct.tg.curr), atol=1e-9
         )
+
+
+class TestTimeInterp:
+    def test_periodic_monthly(self):
+        from isca_tpu.utils.time_interp import monthly_climatology
+        vals = np.arange(12.0)[:, None]  # 12 "months", trivial field
+        ts = monthly_climatology(vals, dtype=jnp.float64)
+        year = 360 * 86400.0
+        # mid-January == record 0
+        np.testing.assert_allclose(float(ts.at(0.5 * 30 * 86400.0)[0]), 0.0, atol=1e-6)
+        # between Jan and Feb centers
+        v = float(ts.at(30 * 86400.0)[0])
+        assert 0.4 < v < 0.6
+        # December -> January wrap: halfway between the Dec (11) and Jan (0) values
+        v = float(ts.at(year - 1.0)[0])
+        np.testing.assert_allclose(v, 5.5, atol=0.01)
+        # periodicity: one year later identical
+        np.testing.assert_allclose(
+            float(ts.at(45 * 86400.0)[0]), float(ts.at(45 * 86400.0 + year)[0]),
+            rtol=1e-6)
+
+    def test_nonperiodic_timeseries(self):
+        from isca_tpu.utils.time_interp import TimeSeries
+        ts = TimeSeries(
+            data=jnp.asarray([300.0, 400.0, 600.0]),
+            times=jnp.asarray([0.0, 100.0, 200.0]),
+            periodic=False, period_seconds=0.0)
+        np.testing.assert_allclose(float(ts.at(50.0)), 350.0, rtol=1e-6)
+        np.testing.assert_allclose(float(ts.at(250.0)), 600.0, rtol=1e-6)  # clamped
+
+    def test_variable_co2_model(self):
+        """variable_co2_grey equivalent: byrne radiation with a CO2 ramp."""
+        from isca_tpu.utils.time_interp import TimeSeries
+        from tests.test_moist_model import small_model
+        from isca_tpu.physics.two_stream_gray import TwoStreamConfig
+        model = small_model(radiation=TwoStreamConfig(rad_scheme="byrne"))
+        model.physics.co2_series = TimeSeries(
+            data=jnp.asarray([360.0, 720.0]),
+            times=jnp.asarray([0.0, 30 * 86400.0]),
+            periodic=False, period_seconds=0.0)
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 48))(s)
+        assert np.isfinite(float(model.diagnostics(s)["tmax"]))
+
+    def test_prescribed_sst_model(self):
+        """realistic_continents_fixed_sst equivalent: APE analytic SSTs."""
+        from tests.test_moist_model import small_model
+        import dataclasses
+        from isca_tpu.physics.mixed_layer import MixedLayerConfig
+        model = small_model(mixed_layer=MixedLayerConfig(do_ape_sst=True))
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 48))(s)
+        ts = np.asarray(s.t_surf)
+        lats = np.degrees(np.asarray(model.core.T.lats))
+        eq = ts[np.abs(lats) < 10].mean()
+        pole = ts[np.abs(lats) > 70].mean()
+        assert eq > 295.0 and abs(pole - 273.15) < 1.0
