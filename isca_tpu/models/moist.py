@@ -106,6 +106,18 @@ class GreyMoistModel:
 
     # ------------------------------------------------------------------
     def step(self, state: GreyMoistState, first: bool = False) -> GreyMoistState:
+        return self._step_impl(state, first)[0]
+
+    def step_with_diagnostics(self, state: GreyMoistState, first: bool = False):
+        """One step, also returning the physics diagnostics dict
+        (precipitation, fluxes, radiation, clouds...) merged with the
+        standard prognostic diag_fields."""
+        new_state, phys_diag = self._step_impl(state, first)
+        diag = dict(self.diag_fields(new_state))
+        diag.update(phys_diag)
+        return new_state, diag
+
+    def _step_impl(self, state: GreyMoistState, first: bool = False):
         c = self.config
         core = self.core
         C = core.C
@@ -143,6 +155,7 @@ class GreyMoistModel:
             state.t_surf, gmt=gmt, time_since_ae=tsae,
             bucket_depth=state.bucket_depth.curr,
             time_seconds=state.time_seconds,
+            wg_full=ll(dyn.wg_full),
         )
 
         # bucket-depth leapfrog (idealized_moist_phys.F90:1343-1372)
@@ -167,11 +180,12 @@ class GreyMoistModel:
             dtracers={"sphum": lf(phys.dt_q)},
         )
         dyn_new = core.dynamics_step(dyn, tend, self.surf_geopotential, first=first)
-        return GreyMoistState(
+        new_state = GreyMoistState(
             dyn=dyn_new, t_surf=phys.t_surf,
             time_seconds=state.time_seconds + c.core.dt,
             bucket_depth=bucket_new,
         )
+        return new_state, phys.diagnostics
 
     # ------------------------------------------------------------------
     def run(self, state: GreyMoistState, num_steps: int, first: bool = True) -> GreyMoistState:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from isca_tpu.constants import Constants, EARTH
 from isca_tpu.physics.betts_miller import BettsMiller, BettsMillerConfig
+from isca_tpu.physics.cloud_simple import CloudSimple, CloudSimpleConfig
 from isca_tpu.physics.damping_driver import DampingDriverConfig, damping_driver
 from isca_tpu.physics.diffusivity import DiffusivityConfig, diffusivity
 from isca_tpu.physics.dry_convection import DryConvectionConfig, dry_convection
@@ -60,6 +61,7 @@ class MoistPhysicsConfig:
     max_bucket_depth_land: float = 0.15
     robert_bucket: float = 0.04
     raw_bucket: float = 0.53
+    do_cloud_simple: bool = False    # SimCloud diagnostic clouds (idealized_moist_phys.F90:120)
     do_simple_sat: bool = True          # sat_vapor_pres do_simple (Frierson)
     roughness_mom: float = 0.05
     roughness_heat: float = 0.05
@@ -76,6 +78,7 @@ class MoistPhysicsConfig:
     betts_miller: BettsMillerConfig = BettsMillerConfig()
     damping: DampingDriverConfig = DampingDriverConfig()
     giant: GiantPlanetConfig = GiantPlanetConfig()
+    cloud: CloudSimpleConfig = CloudSimpleConfig()
     constants: Constants = EARTH
 
 
@@ -98,6 +101,7 @@ class MoistPhysics:
         self.betts_miller = BettsMiller(config.betts_miller, self.svp)
         self.condensation = LscaleCond(config.condensation, self.svp)
         self.radiation = TwoStreamGray(config.radiation)
+        self.cloud = CloudSimple(config.cloud, self.svp) if config.do_cloud_simple else None
         self.lat2d = lats[:, None] * jnp.ones_like(lons)[None, :]
         self.lon2d = jnp.ones_like(lats)[:, None] * lons[None, :]
         ml = config.mixed_layer
@@ -120,6 +124,7 @@ class MoistPhysics:
         gmt=0.0, time_since_ae=0.0,
         bucket_depth=None,      # (lat, lon) at `current` when cfg.bucket
         time_seconds=0.0,       # model time for time-varying inputs
+        wg_full=None,           # (..., L) pressure velocity for SimCloud
     ) -> MoistPhysicsResult:
         cfg, C = self.config, self.C
         L = t_prev.shape[-1]
@@ -167,6 +172,16 @@ class MoistPhysics:
             cond_rain = jnp.zeros(shape2d, t_prev.dtype)
             depth_change_cond = jnp.zeros(shape2d, t_prev.dtype)
         diag["precipitation"] = conv_rain + cond_rain
+
+        # ---- SimCloud diagnostic clouds (idealized_moist_phys.F90:1016-1033) ----
+        if self.cloud is not None:
+            ocean = (self.land_mask <= 0.5) if self.land_mask is not None else None
+            clouds = self.cloud(
+                p_half_curr, p_full_curr, t_prev, q_prev,
+                z_full_curr, wg_full if wg_full is not None else jnp.zeros_like(t_prev),
+                p_half_curr[..., -1], ocean=ocean,
+            )
+            diag.update(clouds.diagnostics)
 
         # ---- radiation: downward pass ----
         albedo = jnp.full(shape2d, cfg.mixed_layer.albedo_value, t_prev.dtype)
