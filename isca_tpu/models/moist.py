@@ -74,6 +74,11 @@ class GreyMoistModel:
         )
         self.core = PrimitiveCore(config.core, tracer_attrs=attrs)
         self.physics = MoistPhysics(config.physics, self.core.T.lats, self.core.T.lons)
+        if config.physics.do_damping and config.physics.damping.do_cg_drag:
+            import numpy as np
+            ph = np.asarray(self.core.pk) + np.asarray(self.core.bk) * \
+                config.core.reference_sea_level_press
+            self.physics.init_cg_drag(0.5 * (ph[:-1] + ph[1:]))
         self.surf_geopotential = jnp.zeros(self.core.T.grid_shape, config.core.dtype)
         self.land_mask = None   # optional (lat, lon) float mask
 

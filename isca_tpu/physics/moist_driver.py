@@ -111,6 +111,15 @@ class MoistPhysics:
         self.land_mask = None   # optional (nlat, nlon) float mask set by the model
         self.co2_series = None   # optional TimeSeries of CO2 ppmv
         self.sst_series = None   # optional TimeSeries of prescribed SSTs (lat, lon)
+        self.hprime = jnp.zeros_like(self.lat2d)  # subgrid-orography stdev (mg_drag)
+        self.cg_drag = None     # CgDrag instance; see init_cg_drag
+
+    def init_cg_drag(self, pref):
+        """Build the convective-GWD source tables from reference full-level
+        pressures (cg_drag_init needs pref; called by the model after the
+        vertical coordinate exists)."""
+        from isca_tpu.physics.gravity_wave_drag import CgDrag
+        self.cg_drag = CgDrag(self.config.damping.cg, self.lat2d, pref)
 
     def __call__(
         self,
@@ -234,12 +243,19 @@ class MoistPhysics:
             )
             dt_u, dt_v, dt_t = bd.dt_u, bd.dt_v, bd.dt_t
 
-        # ---- upper-atmosphere damping (sponge + GWD seam) ----
+        # ---- upper-atmosphere damping (sponge + mg/cg gravity-wave drag) ----
         if cfg.do_damping:
             dmp = damping_driver(
-                cfg.damping, delta_t, p_full_curr, u_prev, v_prev, dt_u, dt_v, dt_t
+                cfg.damping, delta_t, p_full_curr, u_prev, v_prev,
+                dt_u, dt_v, dt_t,
+                temp=t_prev, p_half=p_half_curr,
+                z_full=z_full_curr, z_half=z_half_curr,
+                hprime=self.hprime, cg=self.cg_drag, lat2d=self.lat2d,
+                day_of_year=time_seconds / C.seconds_per_day,
+                days_per_year=C.orbital_period / C.seconds_per_day,
             )
             dt_u, dt_v, dt_t = dmp.dt_u, dmp.dt_v, dmp.dt_t
+            diag.update(dmp.diagnostics)
 
         if not cfg.turb:
             return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf, diag)
