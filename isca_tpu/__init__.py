@@ -9,6 +9,24 @@ decomposition, and functional (pytree state) semi-implicit leapfrog time steppin
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# Persistent XLA compilation cache: large radiation graphs (RRTMG-SW is a
+# 14-band, 112-g-point program) take minutes to compile on a TPU backend the
+# first time; the disk cache makes that a once-per-machine cost. Opt out with
+# ISCA_TPU_NO_COMPILE_CACHE=1.
+if not _os.environ.get("ISCA_TPU_NO_COMPILE_CACHE"):
+    try:
+        import jax as _jax
+
+        _cache_dir = _os.environ.get(
+            "ISCA_TPU_COMPILE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "isca_tpu_xla"))
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 from isca_tpu.constants import Constants, EARTH  # noqa: F401
 from isca_tpu.spectral.transforms import (  # noqa: F401
     SphericalTransforms,

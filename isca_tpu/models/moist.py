@@ -54,7 +54,7 @@ class GreyMoistConfig:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dyn", "t_surf", "time_seconds", "bucket_depth"],
+    data_fields=["dyn", "t_surf", "time_seconds", "bucket_depth", "tke"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -63,6 +63,7 @@ class GreyMoistState:
     t_surf: jax.Array
     time_seconds: jax.Array   # model time (s) for seasonal insolation
     bucket_depth: TwoLevel    # (lat, lon) water depth (m); zeros if bucket off
+    tke: jax.Array            # (lat, lon, L+1) MY2.5 TKE (zeros when unused)
 
 
 class GreyMoistModel:
@@ -105,9 +106,12 @@ class GreyMoistModel:
             ).astype(c.core.dtype)
         else:
             depth0 = jnp.full(self.core.T.grid_shape, pc.init_bucket_depth, c.core.dtype)
+        L = c.core.num_levels
+        tke0 = jnp.zeros(self.core.T.grid_shape + (L + 1,), c.core.dtype)
         return GreyMoistState(dyn=dyn, t_surf=t_surf,
                               time_seconds=jnp.zeros((), jnp.float32),
-                              bucket_depth=TwoLevel(depth0, depth0))
+                              bucket_depth=TwoLevel(depth0, depth0),
+                              tke=tke0)
 
     # ------------------------------------------------------------------
     def step(self, state: GreyMoistState, first: bool = False) -> GreyMoistState:
@@ -161,6 +165,7 @@ class GreyMoistModel:
             bucket_depth=state.bucket_depth.curr,
             time_seconds=state.time_seconds,
             wg_full=ll(dyn.wg_full),
+            tke=state.tke,
         )
 
         # bucket-depth leapfrog (idealized_moist_phys.F90:1343-1372)
@@ -189,6 +194,7 @@ class GreyMoistModel:
             dyn=dyn_new, t_surf=phys.t_surf,
             time_seconds=state.time_seconds + c.core.dt,
             bucket_depth=bucket_new,
+            tke=phys.diagnostics.get("tke", state.tke),
         )
         return new_state, phys.diagnostics
 

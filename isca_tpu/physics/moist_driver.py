@@ -35,6 +35,7 @@ from isca_tpu.physics.giant_planet import (
     rayleigh_bottom_drag,
 )
 from isca_tpu.physics.lscale_cond import LscaleCond, LscaleCondConfig
+from isca_tpu.physics.my25_turb import MY25Config, my25_turb
 from isca_tpu.physics.mixed_layer import (
     MixedLayerConfig,
     analytic_qflux,
@@ -61,6 +62,7 @@ class MoistPhysicsConfig:
     max_bucket_depth_land: float = 0.15
     robert_bucket: float = 0.04
     raw_bucket: float = 0.53
+    radiation_scheme: str = "two_stream"   # | "rrtm" (RRTMG-SW + grey LW)
     do_cloud_simple: bool = False    # SimCloud diagnostic clouds (idealized_moist_phys.F90:120)
     do_simple_sat: bool = True          # sat_vapor_pres do_simple (Frierson)
     roughness_mom: float = 0.05
@@ -72,13 +74,16 @@ class MoistPhysicsConfig:
     condensation: LscaleCondConfig = LscaleCondConfig(do_simple=False, do_evap=False)
     radiation: TwoStreamConfig = TwoStreamConfig()
     surface: SurfaceFluxConfig = SurfaceFluxConfig()
+    bl_scheme: str = "diffusivity"   # | "mellor_yamada" (vert_turb_driver.F90)
     bl: DiffusivityConfig = DiffusivityConfig(do_simple=True, frac_inner=0.1)
+    my25: "MY25Config" = None        # type: ignore[assignment]
     mixed_layer: MixedLayerConfig = MixedLayerConfig()
     dry_convection: DryConvectionConfig = DryConvectionConfig()
     betts_miller: BettsMillerConfig = BettsMillerConfig()
     damping: DampingDriverConfig = DampingDriverConfig()
     giant: GiantPlanetConfig = GiantPlanetConfig()
     cloud: CloudSimpleConfig = CloudSimpleConfig()
+    rrtm: "RRTMConfig | None" = None       # used when radiation_scheme="rrtm"
     constants: Constants = EARTH
 
 
@@ -100,7 +105,11 @@ class MoistPhysics:
         self.convection = QEMoistConvection(config.convection, self.svp)
         self.betts_miller = BettsMiller(config.betts_miller, self.svp)
         self.condensation = LscaleCond(config.condensation, self.svp)
-        self.radiation = TwoStreamGray(config.radiation)
+        if config.radiation_scheme.lower() == "rrtm":
+            from isca_tpu.physics.rrtm_radiation import RRTMConfig, RRTMRadiation
+            self.radiation = RRTMRadiation(config.rrtm or RRTMConfig())
+        else:
+            self.radiation = TwoStreamGray(config.radiation)
         self.cloud = CloudSimple(config.cloud, self.svp) if config.do_cloud_simple else None
         self.lat2d = lats[:, None] * jnp.ones_like(lons)[None, :]
         self.lon2d = jnp.ones_like(lats)[:, None] * lons[None, :]
@@ -134,6 +143,7 @@ class MoistPhysics:
         bucket_depth=None,      # (lat, lon) at `current` when cfg.bucket
         time_seconds=0.0,       # model time for time-varying inputs
         wg_full=None,           # (..., L) pressure velocity for SimCloud
+        tke=None,               # (..., L+1) MY2.5 TKE state when bl_scheme
     ) -> MoistPhysicsResult:
         cfg, C = self.config, self.C
         L = t_prev.shape[-1]
@@ -267,19 +277,44 @@ class MoistPhysics:
         else:
             u_star = jnp.zeros(shape2d, t_prev.dtype)
             b_star = jnp.zeros(shape2d, t_prev.dtype)
-        bl = diffusivity(
-            cfg.bl, t_prev, q_prev, u_prev, v_prev,
-            p_full_curr, p_half_curr, z_full_curr - z_surf[..., None],
-            z_half_curr - z_surf[..., None], u_star, b_star,
-        )
-        diag["z_pbl"] = bl.h_pbl
+        if cfg.bl_scheme.lower() in ("mellor_yamada", "my25"):
+            # vert_turb_driver.F90:142 MY2.5 branch: prognostic-TKE closure
+            my_cfg = cfg.my25 or MY25Config(grav=C.grav)
+            fracland = (self.land_mask if self.land_mask is not None
+                        else jnp.zeros(shape2d, t_prev.dtype))
+            theta = t_prev * (1.0e5 / p_full_curr) ** C.kappa
+            z0 = jnp.full(shape2d, cfg.roughness_mom, t_prev.dtype)
+            my = my25_turb(
+                my_cfg, dt_real, fracland, p_half_curr, p_full_curr, theta,
+                u_prev, v_prev, z_half_curr - z_surf[..., None],
+                z_full_curr - z_surf[..., None], z0,
+                tke if tke is not None
+                else jnp.zeros(shape2d + (L + 1,), t_prev.dtype),
+                u_star=u_star,
+            )
+            bl_km, bl_kt = my.akm, my.akh
+            diag["tke"] = my.tke
+            diag["el0"] = my.el0
+            # PBL top: highest level with TKE above threshold
+            zh_ag = z_half_curr - z_surf[..., None]
+            active = my.tke[..., 1:] > 1.0e-3
+            diag["z_pbl"] = jnp.max(
+                jnp.where(active, zh_ag[..., 1:], 0.0), axis=-1)
+        else:
+            bl = diffusivity(
+                cfg.bl, t_prev, q_prev, u_prev, v_prev,
+                p_full_curr, p_half_curr, z_full_curr - z_surf[..., None],
+                z_half_curr - z_surf[..., None], u_star, b_star,
+            )
+            bl_km, bl_kt = bl.k_m, bl.k_t
+            diag["z_pbl"] = bl.h_pbl
 
         # ---- vertical diffusion down / mixed layer / up ----
         zero2 = jnp.zeros(shape2d, t_prev.dtype)
         down = gcm_vert_diff_down(
             C, delta_t,
             u_prev, v_prev, t_prev, q_prev,
-            bl.k_m, bl.k_t,
+            bl_km, bl_kt,
             p_half_curr, p_full_curr, z_full_curr,
             sf.flux_u if sf is not None else zero2,
             sf.flux_v if sf is not None else zero2,

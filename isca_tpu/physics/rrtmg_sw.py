@@ -1,0 +1,731 @@
+"""RRTMG-SW: correlated-k shortwave radiation, TPU-native.
+
+Re-implementation of the AER RRTMG-SW column model vendored in the reference:
+  - src/atmos_param/rrtm_radiation/rrtmg_sw/gcm_model/src/rrtmg_sw_setcoef.f90
+    (setcoef_sw: pressure/temperature interpolation indices, column amounts)
+  - .../rrtmg_sw_taumol.f90 (taumol16..29: per-band optical depths from the
+    correlated-k tables; g-point batched here)
+  - .../rrtmg_sw_reftra.f90 (two-stream delta-Eddington reflectance/
+    transmittance, kmodts=2 PIFM)
+  - .../rrtmg_sw_vrtqdr.f90 (vertical adding/doubling of layer properties)
+  - .../rrtmg_sw_spcvrt.f90 (spectral loop, delta scaling, direct beam,
+    flux assembly)
+  - .../rrtmg_sw_rad.nomcica.f90 (column amounts from vmr profiles)
+
+The k-distribution tables are the reference's own vendored data
+(rrtmg_sw_k_g.f90), extracted to `isca_tpu/data/rrtmg_sw.npz` by
+tools/extract_rrtmg_sw.py with the 224->112 g-point reduction applied at
+extraction time (cmbgb16s..29 in rrtmg_sw_init.f90).
+
+TPU-native design: the reference loops over columns, layers and g-points;
+here every (column, layer, g-point) is batched: table lookups are vectorized
+gathers, the two-stream is closed-form elementwise math, and only the
+adding/doubling is sequential (three `lax.scan`s over the small level axis,
+batched over columns x 112 g-points). The troposphere/stratosphere split
+(laytrop) becomes a per-layer mask with both table regions evaluated and
+selected. Deviations: exact `exp` instead of the reference's Pade lookup
+table (exp_tbl) — faster than a gather on TPU and more accurate.
+
+Layer index convention inside this module: axis -1 over layers, index 0 =
+BOTTOM (surface), matching the reference's lay=1..nlayers; the public wrapper
+accepts the framework's top-down arrays and flips.
+
+Compile-time note: the full graph (14 per-band taumol subgraphs + the
+g-point-batched adding scans) takes minutes to compile on a TPU backend the
+first time; the package enables JAX's persistent compilation cache so this is
+a once-per-machine cost. A planned optimization is a uniform padded-band
+formulation (scan over bands with ng padded to 12 and shared gather shapes)
+that shrinks the HLO ~10x.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from pathlib import Path
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+DATA = Path(__file__).resolve().parent.parent / "data" / "rrtmg_sw.npz"
+
+NBND = 14
+NGPT = 112
+NGC = [6, 12, 8, 8, 10, 10, 2, 10, 8, 6, 6, 8, 6, 12]
+RRSW_SCON = 1.36822e3        # W/m2 (parrrsw.f90:115)
+AMD = 28.9660                # g/mol dry air
+AMW = 18.0160                # g/mol water vapor
+AVOGAD = 6.02214199e23
+GRAV_CGS = 9.8066
+
+# per-band recipe entries (verified against rrtmg_sw_taumol.f90):
+#   lo: ('2key', sp1, sp2, strrat) | ('1key', sp) | 'none'
+#   up: same, or 'zero'
+#   layreffr, solfr_region ('lower'|'upper'), sflux interp ('1d'|'lo_js'|'up_js')
+#   minor terms handled explicitly in _taumol_band.
+BAND_META = {
+    16: dict(lo=("2key", "h2o", "ch4", 252.131), up=("1key", "ch4"),
+             layreffr=18, solfr="upper", sflux="1d", self_lo=True, for_lo=True,
+             for_up=False),
+    17: dict(lo=("2key", "h2o", "co2", 0.364641), up=("2key5", "h2o", "co2", 0.364641),
+             layreffr=30, solfr="upper", sflux="up_js", self_lo=True, for_lo=True,
+             for_up=True),
+    18: dict(lo=("2key", "h2o", "ch4", 38.9589), up=("1key", "ch4"),
+             layreffr=6, solfr="lower", sflux="lo_js", self_lo=True, for_lo=True,
+             for_up=False),
+    19: dict(lo=("2key", "h2o", "co2", 5.49281), up=("1key", "co2"),
+             layreffr=3, solfr="lower", sflux="lo_js", self_lo=True, for_lo=True,
+             for_up=False),
+    20: dict(lo=("1key", "h2o"), up=("1key", "h2o"),
+             layreffr=3, solfr="lower", sflux="1d", self_lo=True, for_lo=True,
+             for_up=True),
+    21: dict(lo=("2key", "h2o", "co2", 0.0045321), up=("2key5", "h2o", "co2", 0.0045321),
+             layreffr=8, solfr="lower", sflux="lo_js", self_lo=True, for_lo=True,
+             for_up=True),
+    22: dict(lo=("2key", "h2o", "o2", 0.022708 * 1.6), up=("1key", "o2"),
+             layreffr=2, solfr="lower", sflux="lo_js", self_lo=True, for_lo=True,
+             for_up=False),
+    23: dict(lo=("1key", "h2o"), up="zero",
+             layreffr=6, solfr="lower", sflux="1d", self_lo=True, for_lo=True,
+             for_up=False),
+    24: dict(lo=("2key", "h2o", "o2", 0.124692), up=("1key", "o2"),
+             layreffr=1, solfr="lower", sflux="lo_js", self_lo=True, for_lo=True,
+             for_up=False),
+    25: dict(lo=("1key", "h2o"), up="zero",
+             layreffr=2, solfr="lower", sflux="1d", self_lo=False, for_lo=False,
+             for_up=False),
+    26: dict(lo="zero", up="zero",
+             layreffr=0, solfr="laytrop", sflux="1d", self_lo=False,
+             for_lo=False, for_up=False),
+    27: dict(lo=("1key", "o3"), up=("1key", "o3"),
+             layreffr=32, solfr="upper", sflux="1d", self_lo=False,
+             for_lo=False, for_up=False),
+    28: dict(lo=("2key", "o3", "o2", 6.67029e-7), up=("2key5", "o3", "o2", 6.67029e-7),
+             layreffr=58, solfr="upper", sflux="up_js", self_lo=False,
+             for_lo=False, for_up=False),
+    29: dict(lo=("1key", "h2o"), up=("1key", "co2"),
+             layreffr=49, solfr="upper", sflux="1d", self_lo=True, for_lo=True,
+             for_up=False),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class RRTMGSwConfig:
+    scon: float = 1368.22          # solar constant [W/m2]
+    co2vmr: float = 300.0e-6
+    ch4vmr: float = 0.0
+    n2ovmr: float = 0.0
+    o2vmr: float = 0.209488
+    cp_air: float = 1004.64
+    grav: float = 9.80
+
+
+class SwFluxes(NamedTuple):
+    swdflx: jax.Array      # (..., L+1) downward flux, TOP-DOWN half levels
+    swuflx: jax.Array      # (..., L+1) upward flux
+    swdflxc: jax.Array     # clear-sky downward
+    swuflxc: jax.Array     # clear-sky upward
+    swhr: jax.Array        # (..., L) heating rate [K/s], top-down
+    dirdflx: jax.Array     # (..., L+1) direct-beam downward
+
+
+class _Tables:
+    """Loads the reduced k-tables once; values as f32 jnp constants."""
+
+    _cache = None
+
+    def __new__(cls):
+        if cls._cache is None:
+            cls._cache = super().__new__(cls)
+            d = np.load(DATA)
+            store = {}
+            for k in d.files:
+                store[k] = jnp.asarray(d[k].astype(np.float32))
+            cls._cache.t = store
+        return cls._cache
+
+    def band(self, b, name, default=None):
+        key = f"b{b}_{name}"
+        if key in self.t:
+            return self.t[key]
+        return default
+
+
+# ---------------------------------------------------------------------------
+# setcoef (rrtmg_sw_setcoef.f90:40-287)
+# ---------------------------------------------------------------------------
+
+class SetcoefResult(NamedTuple):
+    tropo: jax.Array      # bool (..., L): plog > 4.56 (troposphere)
+    laytrop: jax.Array    # int (...,): number of tropospheric layers
+    jp: jax.Array         # int 0-based (1..58)-1
+    jt: jax.Array
+    jt1: jax.Array
+    fac00: jax.Array
+    fac01: jax.Array
+    fac10: jax.Array
+    fac11: jax.Array
+    fs_cache: dict
+    col: dict             # colh2o, colco2, colo3, colch4, colo2, colmol
+    selffac: jax.Array
+    selffrac: jax.Array
+    indself: jax.Array    # 0-based
+    forfac: jax.Array
+    forfrac: jax.Array
+    indfor: jax.Array     # 0-based
+
+
+def setcoef_sw(pavel, tavel, wkl, coldry, preflog, tref):
+    """pavel [hPa], tavel [K], wkl dict of molecular columns, bottom-up."""
+    stpfac = 296.0 / 1013.0
+    plog = jnp.log(pavel)
+    jp = jnp.clip((36.0 - 5.0 * (plog + 0.04)).astype(jnp.int32), 1, 58) - 1
+    jp1 = jp + 1
+    fp = 5.0 * (preflog[jp] - plog)
+
+    tref_jp = tref[jp]
+    jt = jnp.clip((3.0 + (tavel - tref_jp) / 15.0).astype(jnp.int32), 1, 4) - 1
+    ft = (tavel - tref_jp) / 15.0 - (jt + 1 - 3)
+    tref_jp1 = tref[jp1]
+    jt1 = jnp.clip((3.0 + (tavel - tref_jp1) / 15.0).astype(jnp.int32), 1, 4) - 1
+    ft1 = (tavel - tref_jp1) / 15.0 - (jt1 + 1 - 3)
+
+    water = wkl["h2o"] / coldry
+    scalefac = pavel * stpfac / tavel
+    tropo = plog > 4.56
+    laytrop = jnp.sum(tropo, axis=-1)
+
+    forfac = scalefac / (1.0 + water)
+    factor_t = (332.0 - tavel) / 36.0
+    indfor_lo = jnp.clip(factor_t.astype(jnp.int32), 1, 2)
+    forfrac_lo = factor_t - indfor_lo
+    factor_s = (tavel - 188.0) / 36.0
+    indfor = jnp.where(tropo, indfor_lo, 3) - 1
+    forfrac = jnp.where(tropo, forfrac_lo, factor_s - 1.0)
+
+    selffac = jnp.where(tropo, water * forfac, 0.0)
+    factor2 = (tavel - 188.0) / 7.2
+    indself = jnp.where(
+        tropo, jnp.clip(factor2.astype(jnp.int32) - 7, 1, 9), 1) - 1
+    selffrac = jnp.where(tropo, factor2 - (indself + 1 + 7), 0.0)
+
+    col = {}
+    for name in ("h2o", "co2", "o3", "n2o", "ch4", "o2"):
+        c = 1.0e-20 * wkl[name]
+        if name in ("co2", "n2o", "ch4", "o2"):
+            c = jnp.where(c == 0.0, 1.0e-32 * coldry, c)
+        col[name] = c
+    col["mol"] = 1.0e-20 * coldry + col["h2o"]
+
+    compfp = 1.0 - fp
+    return SetcoefResult(
+        tropo=tropo, laytrop=laytrop, jp=jp, jt=jt, jt1=jt1,
+        fac00=compfp * (1.0 - ft), fac10=compfp * ft,
+        fac01=fp * (1.0 - ft1), fac11=fp * ft1,
+        fs_cache={}, col=col,
+        selffac=selffac, selffrac=selffrac, indself=indself,
+        forfac=forfac, forfrac=forfrac, indfor=indfor)
+
+
+# ---------------------------------------------------------------------------
+# taumol (rrtmg_sw_taumol.f90)
+# ---------------------------------------------------------------------------
+
+ONEMINUS = 1.0 - 1.0e-6
+
+
+def _species_frac(c, col1, col2, strrat, nmult):
+    """Binary species parameter -> (speccomb, js 0-based, fs)."""
+    speccomb = col1 + strrat * col2
+    specparm = jnp.minimum(col1 / speccomb, ONEMINUS)
+    specmult = nmult * specparm
+    js = specmult.astype(jnp.int32)        # 0-based (Fortran js-1)
+    fs = specmult - js
+    return speccomb, js, fs
+
+
+def _interp_lower_2key(ka, c, js, fs):
+    """8-term interpolation on ka(9,5,13,ng) (taumol 'absa' blocks)."""
+    jp, jt, jt1 = c.jp, c.jt, c.jt1      # all 0-based
+    # lower region: pressure rows jp (ind0) and jp+1 (ind1), 0-based = jp, jp+1
+    def g(jss, jtt, jpp):
+        return ka[jss, jtt, jpp]          # (..., L, ng)
+    t00 = (1 - fs)[..., None] * (c.fac00[..., None] * g(js, jt, jp)
+                                 + c.fac10[..., None] * g(js, jt + 1, jp))
+    t10 = fs[..., None] * (c.fac00[..., None] * g(js + 1, jt, jp)
+                           + c.fac10[..., None] * g(js + 1, jt + 1, jp))
+    jpp = jnp.minimum(jp + 1, 12)
+    t01 = (1 - fs)[..., None] * (c.fac01[..., None] * g(js, jt1, jpp)
+                                 + c.fac11[..., None] * g(js, jt1 + 1, jpp))
+    t11 = fs[..., None] * (c.fac01[..., None] * g(js + 1, jt1, jpp)
+                           + c.fac11[..., None] * g(js + 1, jt1 + 1, jpp))
+    return t00 + t10 + t01 + t11
+
+
+def _interp_lower_1key(ka, c):
+    """4-term interpolation on ka(5,13,ng)."""
+    jp, jt, jt1 = c.jp, c.jt, c.jt1
+    jpp = jnp.minimum(jp + 1, 12)
+    return (c.fac00[..., None] * ka[jt, jp]
+            + c.fac10[..., None] * ka[jt + 1, jp]
+            + c.fac01[..., None] * ka[jt1, jpp]
+            + c.fac11[..., None] * ka[jt1 + 1, jpp])
+
+
+def _upper_rows(c):
+    jp0 = jnp.clip(c.jp - 12, 0, 46)      # kb row for ind0 (jp-13 Fortran 1b)
+    jp1 = jnp.clip(c.jp - 11, 0, 46)      # kb row for ind1
+    return jp0, jp1
+
+
+def _interp_upper_1key(kb, c):
+    """kb(5,47,ng) upper-region interpolation."""
+    jp0, jp1 = _upper_rows(c)
+    return (c.fac00[..., None] * kb[c.jt, jp0]
+            + c.fac10[..., None] * kb[c.jt + 1, jp0]
+            + c.fac01[..., None] * kb[c.jt1, jp1]
+            + c.fac11[..., None] * kb[c.jt1 + 1, jp1])
+
+
+def _interp_upper_2key5(kb, c, js, fs):
+    """kb(5,5,47,ng) with 5-point species parameter (bands 17,21,28)."""
+    jp0, jp1 = _upper_rows(c)
+    def g(jss, jtt, jpp):
+        return kb[jss, jtt, jpp]
+    t00 = (1 - fs)[..., None] * (c.fac00[..., None] * g(js, c.jt, jp0)
+                                 + c.fac10[..., None] * g(js, c.jt + 1, jp0))
+    t10 = fs[..., None] * (c.fac00[..., None] * g(js + 1, c.jt, jp0)
+                           + c.fac10[..., None] * g(js + 1, c.jt + 1, jp0))
+    t01 = (1 - fs)[..., None] * (c.fac01[..., None] * g(js, c.jt1, jp1)
+                                 + c.fac11[..., None] * g(js, c.jt1 + 1, jp1))
+    t11 = fs[..., None] * (c.fac01[..., None] * g(js + 1, c.jt1, jp1)
+                           + c.fac11[..., None] * g(js + 1, c.jt1 + 1, jp1))
+    return t00 + t10 + t01 + t11
+
+
+def _continuum(c, selfref, forref, with_self):
+    """H2O self+foreign continuum terms, x colh2o outside."""
+    for_term = c.forfac[..., None] * (
+        forref[c.indfor] + c.forfrac[..., None]
+        * (forref[jnp.minimum(c.indfor + 1, forref.shape[0] - 1)] - forref[c.indfor]))
+    if not with_self:
+        return for_term
+    self_term = c.selffac[..., None] * (
+        selfref[c.indself] + c.selffrac[..., None]
+        * (selfref[c.indself + 1] - selfref[c.indself]))
+    return self_term + for_term
+
+
+def _laysolfr(meta, c):
+    """Per-column solar-source layer index (bottom-up, 0-based)."""
+    jp_f = c.jp + 1                       # Fortran 1-based
+    L = jp_f.shape[-1]
+    layreffr = meta["layreffr"]
+    laytrop_idx = jnp.maximum(c.laytrop - 1, 0)
+    if meta["solfr"] == "laytrop":
+        return laytrop_idx
+    if meta["solfr"] == "lower":
+        cross = (jp_f[..., :-1] < layreffr) & (jp_f[..., 1:] >= layreffr)
+        any_cross = jnp.any(cross, axis=-1)
+        first = jnp.argmax(cross, axis=-1) + 1
+        return jnp.where(any_cross,
+                         jnp.minimum(first, laytrop_idx), laytrop_idx)
+    # upper: default top layer
+    cross = (jp_f[..., :-1] < layreffr) & (jp_f[..., 1:] >= layreffr)
+    any_cross = jnp.any(cross, axis=-1)
+    first = jnp.argmax(cross, axis=-1) + 1
+    return jnp.where(any_cross, first, L - 1)
+
+
+def taumol_sw(c: SetcoefResult, tables: _Tables):
+    """Returns taug, taur (..., L, 112) bottom-up and sfluxzen (..., 112)."""
+    col = c.col
+    taugs, taurs, sfluxes = [], [], []
+    for b in range(16, 30):
+        meta = BAND_META[b]
+        ka = tables.band(b, "ka")
+        kb = tables.band(b, "kb")
+        selfref = tables.band(b, "selfref")
+        forref = tables.band(b, "forref")
+        sfluxref = tables.band(b, "sfluxref")
+        rayl = tables.band(b, "rayl")
+        ng = NGC[b - 16]
+        dtype = col["h2o"].dtype
+        shape_g = col["h2o"].shape + (ng,)
+
+        js_lo = fs_lo = js_up = fs_up = None
+        # ---- lower (troposphere) optical depth ----
+        if meta["lo"] == "zero":
+            taug_lo = jnp.zeros(shape_g, dtype)
+        elif meta["lo"][0] == "2key":
+            _, sp1, sp2, strrat = meta["lo"]
+            speccomb, js_lo, fs_lo = _species_frac(c, col[sp1], col[sp2],
+                                                   strrat, 8.0)
+            taug_lo = speccomb[..., None] * _interp_lower_2key(ka, c, js_lo, fs_lo)
+        else:  # 1key
+            sp = meta["lo"][1]
+            base = _interp_lower_1key(ka, c)
+            if b == 23:
+                base = 1.029 * base       # givfac (taumol23)
+            taug_lo = col[sp][..., None] * base
+
+        if meta["self_lo"] or meta["for_lo"]:
+            cont = _continuum(c, selfref, forref, meta["self_lo"])
+            taug_lo = taug_lo + col["h2o"][..., None] * cont
+
+        # band-specific minor absorbers, lower
+        if b == 20:
+            taug_lo = taug_lo + col["ch4"][..., None] * tables.band(20, "absch4")
+        if b == 22:
+            o2cont = 4.35e-4 * col["o2"] / 700.0
+            taug_lo = taug_lo + o2cont[..., None]
+        if b == 24:
+            taug_lo = taug_lo + col["o3"][..., None] * tables.band(24, "abso3a")
+        if b == 25:
+            taug_lo = taug_lo + col["o3"][..., None] * tables.band(25, "abso3a")
+        if b == 29:
+            taug_lo = taug_lo + col["co2"][..., None] * tables.band(29, "absco2")
+
+        # ---- upper (stratosphere) optical depth ----
+        if meta["up"] == "zero":
+            taug_up = jnp.zeros(shape_g, dtype)
+        elif meta["up"][0] == "2key5":
+            _, sp1, sp2, strrat = meta["up"]
+            speccomb, js_up, fs_up = _species_frac(c, col[sp1], col[sp2],
+                                                   strrat, 4.0)
+            taug_up = speccomb[..., None] * _interp_upper_2key5(kb, c, js_up, fs_up)
+        else:
+            sp = meta["up"][1]
+            base = _interp_upper_1key(kb, c)
+            if b == 22:
+                base = 1.6 * base         # o2adj
+            taug_up = col[sp][..., None] * base
+
+        if meta["for_up"]:
+            for_term = _continuum(c, selfref, forref, with_self=False)
+            taug_up = taug_up + col["h2o"][..., None] * for_term
+        if b == 22:
+            taug_up = taug_up + (4.35e-4 * col["o2"] / 700.0)[..., None]
+        if b == 24:
+            taug_up = taug_up + col["o3"][..., None] * tables.band(24, "abso3b")
+        if b == 25:
+            taug_up = col["o3"][..., None] * tables.band(25, "abso3b")
+        if b == 29:
+            taug_up = taug_up + col["h2o"][..., None] * tables.band(29, "absh2o")
+        if b == 20:
+            taug_up = taug_up + col["ch4"][..., None] * tables.band(20, "absch4")
+
+        taug = jnp.where(c.tropo[..., None], taug_lo, taug_up)
+
+        # ---- Rayleigh ----
+        if b == 24:
+            rayla = tables.band(24, "rayla")     # (ng, 9)
+            raylb = tables.band(24, "raylb")
+            ra = (rayla.T[js_lo] + fs_lo[..., None]
+                  * (rayla.T[js_lo + 1] - rayla.T[js_lo]))
+            taur = col["mol"][..., None] * jnp.where(
+                c.tropo[..., None], ra, raylb)
+        elif rayl.ndim == 0:
+            taur = col["mol"][..., None] * rayl * jnp.ones((ng,), dtype)
+        else:
+            taur = col["mol"][..., None] * rayl
+
+        # ---- solar source at laysolfr ----
+        lsf = _laysolfr(meta, c)
+        take_s = lambda a: jnp.take_along_axis(a, lsf[..., None], axis=-1)[..., 0]
+        if meta["sflux"] == "1d":
+            sf = jnp.broadcast_to(sfluxref, col["h2o"].shape[:-1] + (ng,))
+            if b == 27:
+                sf = sf * (50.15 / 48.37)     # scalekur
+        else:
+            if meta["sflux"] == "lo_js":
+                js_l, fs_l = take_s(js_lo), take_s(fs_lo)
+            else:
+                js_l, fs_l = take_s(js_up), take_s(fs_up)
+            sfT = sfluxref.T               # (njs, ng)
+            js_l = jnp.minimum(js_l, sfT.shape[0] - 2)
+            sf = sfT[js_l] + fs_l[..., None] * (sfT[js_l + 1] - sfT[js_l])
+        taugs.append(taug)
+        taurs.append(taur)
+        sfluxes.append(sf)
+    return (jnp.concatenate(taugs, axis=-1), jnp.concatenate(taurs, axis=-1),
+            jnp.concatenate(sfluxes, axis=-1))
+
+
+# ---------------------------------------------------------------------------
+# two-stream (rrtmg_sw_reftra.f90, kmodts=2 PIFM) — top-down layer arrays
+# ---------------------------------------------------------------------------
+
+def reftra_sw(tau, w0, g, mu0):
+    """Returns (ref, refd, tra, trad) for direct/diffuse beams."""
+    eps = 1e-8
+    w0 = jnp.clip(w0, 0.0, 1.0)
+    g = jnp.clip(g, 0.0, 1.0 - 1e-6)
+    gamma1 = (8.0 - w0 * (5.0 + 3.0 * g)) * 0.25
+    gamma2 = 3.0 * (w0 * (1.0 - g)) * 0.25
+    gamma3 = (2.0 - 3.0 * g * mu0) * 0.25
+    gamma4 = 1.0 - gamma3
+
+    zwo = w0 / (1.0 - (1.0 - w0) * (g / (1.0 - g)) ** 2)
+    conservative = zwo >= 0.9999995
+
+    # --- conservative branch ---
+    za = gamma1 * mu0
+    za1 = za - gamma3
+    zgt = gamma1 * tau
+    ze1c = jnp.minimum(tau / mu0, 500.0)
+    ze2c = jnp.exp(-ze1c)
+    ref_c = jnp.clip((zgt - za1 * (1.0 - ze2c)) / (1.0 + zgt), 0.0, 1.0)
+    tra_c = 1.0 - ref_c
+    refd_c = zgt / (1.0 + zgt)
+    trad_c = 1.0 - refd_c
+
+    # --- non-conservative branch ---
+    zrk = jnp.sqrt(jnp.maximum(gamma1**2 - gamma2**2, 1e-12))
+    zrp = zrk * mu0
+    zrp1, zrm1 = 1.0 + zrp, 1.0 - zrp
+    zrk2 = 2.0 * zrk
+    zrpp_raw = 1.0 - zrp * zrp
+    # secular singularity mu0 ~ 1/k (reference relies on table rounding)
+    zrpp = jnp.where(jnp.abs(zrpp_raw) < 1e-12,
+                     jnp.sign(zrpp_raw + 1e-30) * 1e-12, zrpp_raw)
+    zrkg = zrk + gamma1
+    za1n = gamma1 * gamma4 + gamma2 * gamma3
+    za2n = gamma1 * gamma3 + gamma2 * gamma4
+    zr1 = zrm1 * (za2n + zrk * gamma3)
+    zr2 = zrp1 * (za2n - zrk * gamma3)
+    zr3 = zrk2 * (gamma3 - za2n * mu0)
+    zr4 = zrpp * zrkg
+    zr5 = zrpp * (zrk - gamma1)
+    zt1 = zrp1 * (za1n + zrk * gamma4)
+    zt2 = zrm1 * (za1n - zrk * gamma4)
+    zt3 = zrk2 * (gamma4 + za1n * mu0)
+    zbeta = (gamma1 - zrk) / zrkg
+
+    # the reference caps the exponent at 500 (f64); cap at 40 so that the
+    # zr*zep products stay finite in f32 (exp(40)~2.4e17, transmission
+    # exp(-40) is zero to machine precision either way)
+    ze1 = jnp.minimum(zrk * tau, 40.0)
+    ze2 = jnp.minimum(tau / mu0, 40.0)
+    zem1 = jnp.exp(-ze1)
+    zep1 = jnp.exp(ze1)
+    zem2 = jnp.exp(-ze2)
+    zep2 = jnp.exp(ze2)
+    zdenr = zr4 * zep1 + zr5 * zem1
+    zdent = zr4 * zep1 + zr5 * zem1
+    small_den = jnp.abs(zdenr) <= eps
+    ref_n = jnp.where(
+        small_den, eps,
+        w0 * (zr1 * zep1 - zr2 * zem1 - zr3 * zem2)
+        / jnp.where(small_den, 1.0, zdenr))
+    tra_n = jnp.where(
+        small_den, zem2,
+        zem2 - zem2 * w0 * (zt1 * zep1 - zt2 * zem1 - zt3 * zep2)
+        / jnp.where(small_den, 1.0, zdent))
+    zemm = zem1 * zem1
+    zdend = 1.0 / ((1.0 - zbeta * zemm) * zrkg)
+    refd_n = gamma2 * (1.0 - zemm) * zdend
+    trad_n = zrk2 * zem1 * zdend
+
+    ref = jnp.where(conservative, ref_c, ref_n)
+    tra = jnp.where(conservative, tra_c, tra_n)
+    refd = jnp.where(conservative, refd_c, refd_n)
+    trad = jnp.where(conservative, trad_c, trad_n)
+    return ref, refd, tra, trad
+
+
+# ---------------------------------------------------------------------------
+# vertical adding (rrtmg_sw_vrtqdr.f90) — top-down, scan over layers
+# ---------------------------------------------------------------------------
+
+def vrtqdr_sw(ref, refd, tra, trad, dbt, tdbt, alb_dir, alb_dif):
+    """Layer arrays (..., L) top-down; tdbt (..., L+1); albedos (...).
+    Returns fd, fu at (..., L+1) levels."""
+    L = ref.shape[-1]
+    mv = lambda a: jnp.moveaxis(a, -1, 0)
+
+    # up sweep: rup/rupd from surface upward
+    def up_step(carry, x):
+        rup, rupd = carry
+        rf, rfd, tr, trd, db = x
+        reflect = 1.0 / (1.0 - rupd * rfd)
+        rup_new = rf + (trd * ((tr - db) * rupd + db * rup)) * reflect
+        rupd_new = rfd + trd * trd * rupd * reflect
+        return (rup_new, rupd_new), (rup_new, rupd_new)
+
+    xs = (mv(ref), mv(refd), mv(tra), mv(trad), mv(dbt))
+    xs_rev = jax.tree_util.tree_map(lambda a: jnp.flip(a, 0), xs)
+    (_, _), (rup_rev, rupd_rev) = jax.lax.scan(
+        up_step, (alb_dir, alb_dif), xs_rev)
+    # levels 0..L: rup[L] = albedo; rup[k] from scan (reversed)
+    rup = jnp.concatenate(
+        [jnp.flip(rup_rev, 0), alb_dir[None]], axis=0)
+    rupd = jnp.concatenate(
+        [jnp.flip(rupd_rev, 0), alb_dif[None]], axis=0)
+
+    # down sweep: tdn/rdnd from top downward
+    def dn_step(carry, x):
+        tdn, rdnd = carry
+        rf, rfd, tr, trd, db, tdb = x
+        reflect = 1.0 / (1.0 - rfd * rdnd)
+        tdn_new = tdb * tr + (trd * ((tdn - tdb) + tdb * rf * rdnd)) * reflect
+        rdnd_new = rfd + trd * trd * rdnd * reflect
+        return (tdn_new, rdnd_new), (tdn_new, rdnd_new)
+
+    one = jnp.ones_like(alb_dir)
+    zero = jnp.zeros_like(alb_dir)
+    xs_dn = xs + (mv(tdbt[..., :-1]),)
+    (_, _), (tdn_scan, rdnd_scan) = jax.lax.scan(dn_step, (one, zero), xs_dn)
+    tdn = jnp.concatenate([one[None], tdn_scan], axis=0)
+    rdnd = jnp.concatenate([zero[None], rdnd_scan], axis=0)
+
+    tdbt_lvl = mv(tdbt)
+    reflect = 1.0 / (1.0 - rdnd * rupd)
+    fu = (tdbt_lvl * rup + (tdn - tdbt_lvl) * rupd) * reflect
+    fd = tdbt_lvl + (tdn - tdbt_lvl + tdbt_lvl * rup * rdnd) * reflect
+    return jnp.moveaxis(fd, 0, -1), jnp.moveaxis(fu, 0, -1)
+
+
+# ---------------------------------------------------------------------------
+# full column solver
+# ---------------------------------------------------------------------------
+
+def _delta_scale(tau, w0, g):
+    f = g * g
+    wf = w0 * f
+    tau_s = (1.0 - wf) * tau
+    w0_s = (w0 - wf) / (1.0 - wf)
+    g_s = (g - f) / (1.0 - f)
+    return tau_s, w0_s, g_s
+
+
+class RRTMGSw:
+    """Shortwave radiative transfer driver (spcvrt_sw equivalent).
+
+    All inputs level-LAST, TOP-DOWN (framework convention); internals flip to
+    the reference's bottom-up layer order for setcoef/taumol.
+    """
+
+    def __init__(self, config: RRTMGSwConfig = RRTMGSwConfig()):
+        self.config = config
+        self.tables = _Tables()
+        # band index per g-point for albedo/cloud expansion
+        bidx = []
+        for i, n in enumerate(NGC):
+            bidx += [i] * n
+        self.band_of_g = jnp.asarray(np.array(bidx, np.int32))
+
+    def __call__(self, p_half, p_full, t_full, q, o3, coszen,
+                 alb_dir, alb_dif, cldfrac=None, taucld=None, ssacld=None,
+                 asmcld=None, co2vmr=None) -> SwFluxes:
+        """p in Pa (..., L+1)/(..., L); q specific humidity [kg/kg];
+        o3 mass mixing ratio; coszen (...); albedos (...) broadband.
+        Cloud optical properties per band (..., L, 14) if given, top-down.
+        """
+        cfg = self.config
+        flip = lambda a: jnp.flip(a, axis=-1)
+        # bottom-up layers
+        pavel = flip(p_full) * 1e-2                 # hPa
+        tavel = flip(t_full)
+        pz = flip(p_half) * 1e-2                    # level pressures, hPa
+        h2ovmr = flip(q / (1.0 - q)) * (AMD / AMW)
+        o3vmr = flip(o3) * (AMD / 47.9982)
+        co2 = cfg.co2vmr if co2vmr is None else co2vmr
+
+        amm = (1.0 - h2ovmr) * AMD + h2ovmr * AMW
+        coldry = ((pz[..., :-1] - pz[..., 1:]) * 1.0e3 * AVOGAD
+                  / (1.0e2 * GRAV_CGS * amm * (1.0 + h2ovmr)))
+        wkl = {"h2o": h2ovmr * coldry,
+               "co2": co2 * coldry * jnp.ones_like(coldry),
+               "o3": o3vmr * coldry,
+               "n2o": cfg.n2ovmr * coldry,
+               "ch4": cfg.ch4vmr * coldry,
+               "o2": cfg.o2vmr * coldry}
+
+        t = self.tables.t
+        c = setcoef_sw(pavel, tavel, wkl, coldry, t["preflog"], t["tref"])
+        taug, taur, sfluxzen = taumol_sw(c, self.tables)
+
+        # flip to top-down for the solver
+        taug = jnp.flip(taug, axis=-2)
+        taur = jnp.flip(taur, axis=-2)
+
+        mu0 = jnp.maximum(coszen, 1e-4)[..., None, None]
+        solvar = cfg.scon / RRSW_SCON
+        zincflx = solvar * sfluxzen * jnp.maximum(coszen, 0.0)[..., None]
+
+        # clear-sky combined properties per g-point (aerosol-free)
+        ztauc = taur + taug
+        zomcc = taur / jnp.maximum(ztauc, 1e-20)
+        zgcc = jnp.zeros_like(ztauc)
+        ztauc, zomcc, zgcc = _delta_scale(ztauc, zomcc, zgcc)
+
+        gshape = ztauc.shape[:-2] + (NGPT,)
+        alb_dir_g = jnp.broadcast_to(alb_dir[..., None], gshape)
+        alb_dif_g = jnp.broadcast_to(alb_dif[..., None], gshape)
+
+        def solve(tau, w0, g):
+            ref, refd, tra, trad = reftra_sw(tau, w0, g, mu0)
+            dbt_layer = jnp.exp(-jnp.minimum(tau / mu0, 500.0))
+            tdbt = jnp.cumprod(
+                jnp.concatenate([jnp.ones_like(dbt_layer[..., :1, :]),
+                                 dbt_layer], axis=-2), axis=-2)
+            # move g-axis next to batch: vrtqdr expects (..., L) trailing
+            sw = lambda a: jnp.swapaxes(a, -1, -2)
+            fd, fu = vrtqdr_sw(sw(ref), sw(refd), sw(tra), sw(trad),
+                               sw(dbt_layer), sw(tdbt),
+                               alb_dir_g, alb_dif_g)
+            return sw(fd), sw(fu), tdbt   # (..., L+1, ngpt)
+
+        fd_c, fu_c, tdbt_c = solve(ztauc, zomcc, zgcc)
+
+        if cldfrac is not None:
+            # total-sky: combine cloud properties at original (pre-delta)
+            # values then delta-scale (spcvrt icpr=0 path), and blend the
+            # clear/cloudy two-streams by cloud fraction per layer.
+            tc = jnp.take(taucld, self.band_of_g, axis=-1)
+            wc = jnp.take(ssacld, self.band_of_g, axis=-1)
+            gc = jnp.take(asmcld, self.band_of_g, axis=-1)
+            ztauo = taur + taug + tc
+            zomco = taur + tc * wc
+            zgco = (tc * wc * gc) / jnp.maximum(zomco, 1e-20)
+            zomco = zomco / jnp.maximum(ztauo, 1e-20)
+            ztauo, zomco, zgco = _delta_scale(ztauo, zomco, zgco)
+            cf = cldfrac[..., None]
+            ref_c_, refd_c_, tra_c_, trad_c_ = reftra_sw(ztauc, zomcc, zgcc, mu0)
+            ref_o, refd_o, tra_o, trad_o = reftra_sw(ztauo, zomco, zgco, mu0)
+            ref = (1 - cf) * ref_c_ + cf * ref_o
+            refd = (1 - cf) * refd_c_ + cf * refd_o
+            tra = (1 - cf) * tra_c_ + cf * tra_o
+            trad = (1 - cf) * trad_c_ + cf * trad_o
+            dbt_cl = jnp.exp(-jnp.minimum(ztauc / mu0, 500.0))
+            dbt_ov = jnp.exp(-jnp.minimum(ztauo / mu0, 500.0))
+            dbt_layer = (1 - cf) * dbt_cl + cf * dbt_ov
+            tdbt = jnp.cumprod(
+                jnp.concatenate([jnp.ones_like(dbt_layer[..., :1, :]),
+                                 dbt_layer], axis=-2), axis=-2)
+            sw = lambda a: jnp.swapaxes(a, -1, -2)
+            fd_t, fu_t = vrtqdr_sw(sw(ref), sw(refd), sw(tra), sw(trad),
+                                   sw(dbt_layer), sw(tdbt),
+                                   alb_dir_g, alb_dif_g)
+            fd_t, fu_t = sw(fd_t), sw(fu_t)
+            tdbt_t = tdbt
+        else:
+            fd_t, fu_t, tdbt_t = fd_c, fu_c, tdbt_c
+
+        wsum = lambda f: jnp.sum(zincflx[..., None, :] * f, axis=-1)
+        swdflx = wsum(fd_t)
+        swuflx = wsum(fu_t)
+        swdflxc = wsum(fd_c)
+        swuflxc = wsum(fu_c)
+        dirdflx = wsum(tdbt_t)
+
+        # heating rate from net-flux convergence [K/s]: layer absorbs
+        # Fnet(top) - Fnet(bottom), both half-level arrays top-down
+        fnet = swdflx - swuflx
+        dp = p_half[..., 1:] - p_half[..., :-1]
+        swhr = (cfg.grav / cfg.cp_air) * (fnet[..., :-1] - fnet[..., 1:]) / dp
+        return SwFluxes(swdflx=swdflx, swuflx=swuflx, swdflxc=swdflxc,
+                        swuflxc=swuflxc, swhr=swhr, dirdflx=dirdflx)

@@ -1,0 +1,188 @@
+"""RRTMG-SW correlated-k shortwave radiation tests.
+
+Reference: src/atmos_param/rrtm_radiation/rrtmg_sw/gcm_model/src/*.f90.
+The k-tables are the reference's own vendored data (extracted npz), so these
+tests check physical invariants of the full scheme: energy bounds, limiting
+behaviors, gas sensitivities, cloud albedo effects.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isca_tpu.physics.rrtmg_sw import NGPT, RRTMGSw, RRTMGSwConfig, reftra_sw
+
+
+def make_profile(L=40, ncol=2, ps=1.0e5, t_sfc=288.0, rh=0.4, o3_col=True):
+    """Top-down (ncol, L) MLS-like columns."""
+    p_half = jnp.linspace(20.0, ps, L + 1)
+    p_full = 0.5 * (p_half[:-1] + p_half[1:])
+    H = 7500.0
+    z = H * np.log(ps / np.asarray(p_full))
+    t = np.maximum(t_sfc - 6.5e-3 * z, 216.0)
+    es = 610.78 * np.exp(17.27 * (t - 273.15) / (t - 35.85))
+    q = rh * 0.622 * es / np.asarray(p_full)
+    q = np.minimum(q, 0.02)
+    if o3_col:
+        # crude stratospheric ozone bump (mass mixing ratio, ~15 ppmm peak)
+        o3 = 1.5e-5 * np.exp(-((np.log(np.asarray(p_full)) - np.log(2000.0))
+                               / 0.8) ** 2) + 1e-8
+    else:
+        o3 = np.zeros(L) + 1e-12
+    tile = lambda a: jnp.broadcast_to(jnp.asarray(a), (ncol, L))
+    return (jnp.broadcast_to(p_half, (ncol, L + 1)), tile(p_full), tile(t),
+            tile(q), tile(o3))
+
+
+class TestReftra:
+    def test_thin_limit(self):
+        """tau -> 0: no reflection, full transmission."""
+        tau = jnp.full((4,), 1e-8)
+        ref, refd, tra, trad = reftra_sw(tau, jnp.full((4,), 0.5),
+                                         jnp.full((4,), 0.5), 0.8)
+        np.testing.assert_allclose(np.asarray(tra), 1.0, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref), 0.0, atol=1e-5)
+
+    def test_thick_conservative_reflects(self):
+        """tau -> inf with w0=1: everything reflected."""
+        ref, refd, tra, trad = reftra_sw(jnp.array(200.0), jnp.array(1.0),
+                                         jnp.array(0.85), 0.6)
+        assert float(ref) > 0.95
+        assert float(tra) < 0.05
+
+    def test_absorbing_layer(self):
+        """Thick absorbing layer (w0 small): no transmission, low reflection."""
+        ref, refd, tra, trad = reftra_sw(jnp.array(50.0), jnp.array(0.1),
+                                         jnp.array(0.0), 0.7)
+        assert float(tra) < 1e-4
+        assert float(ref) < 0.1
+
+    def test_energy_conservation_bound(self):
+        """R + T <= 1 for non-conservative scattering."""
+        taus = jnp.asarray(np.logspace(-3, 2, 30))
+        for w0 in (0.3, 0.9, 0.999):
+            for g in (0.0, 0.5, 0.85):
+                ref, refd, tra, trad = reftra_sw(
+                    taus, jnp.full_like(taus, w0), jnp.full_like(taus, g), 0.5)
+                assert np.all(np.asarray(ref) + np.asarray(tra) <= 1.0 + 1e-6)
+                assert np.all(np.asarray(refd) + np.asarray(trad) <= 1.0 + 1e-6)
+                assert np.all(np.asarray(ref) >= -1e-9)
+
+
+class TestRRTMGSwFluxes:
+    def setup_method(self):
+        self.rad = RRTMGSw(RRTMGSwConfig())
+
+    def run(self, coszen=0.7, albedo=0.1, rh=0.4, o3=True, **kw):
+        ph, pf, t, q, o3p = make_profile(rh=rh, o3_col=o3)
+        ncol = ph.shape[0]
+        res = self.rad(ph, pf, t, q, o3p,
+                       jnp.full((ncol,), coszen),
+                       jnp.full((ncol,), albedo), jnp.full((ncol,), albedo),
+                       **kw)
+        return res
+
+    def test_toa_flux_magnitude(self):
+        """TOA downward flux = S0 * coszen (within the band-sum closure).
+
+        The Kurucz solar source summed over the 112 g-points gives the
+        RRTMG solar constant; scaled by scon/RRSW_SCON and coszen."""
+        res = self.run(coszen=0.7)
+        toa_dn = float(res.swdflx[0, 0])
+        expect = 1368.22 * 0.7
+        assert abs(toa_dn - expect) / expect < 0.03
+
+    def test_energy_conservation(self):
+        """Column absorption = net in - net out >= 0; fluxes positive."""
+        res = self.run()
+        d = np.asarray(res.swdflx)
+        u = np.asarray(res.swuflx)
+        assert np.all(d >= -1e-6) and np.all(u >= -1e-6)
+        assert np.all(d[:, 0] - u[:, 0] >= d[:, -1] - u[:, -1] - 1e-6)
+        # heating everywhere non-negative for SW
+        assert np.all(np.asarray(res.swhr) >= -1e-9)
+
+    def test_night_columns_zero(self):
+        res = self.run(coszen=-0.2)
+        np.testing.assert_allclose(np.asarray(res.swdflx), 0.0, atol=1e-10)
+
+    def test_surface_albedo_increases_upflux(self):
+        lo = self.run(albedo=0.1)
+        hi = self.run(albedo=0.8)
+        assert float(hi.swuflx[0, -1]) > float(lo.swuflx[0, -1]) * 3.0
+
+    def test_water_vapor_absorbs(self):
+        dry = self.run(rh=0.01)
+        wet = self.run(rh=0.8)
+        # more vapor -> less SW reaching the surface
+        assert float(wet.swdflx[0, -1]) < float(dry.swdflx[0, -1]) - 5.0
+        # and more column heating
+        assert float(np.asarray(wet.swhr).sum()) > float(np.asarray(dry.swhr).sum())
+
+    def test_ozone_heats_stratosphere(self):
+        no_o3 = self.run(o3=False)
+        with_o3 = self.run(o3=True)
+        hr_no = np.asarray(no_o3.swhr)[0, :10].mean()
+        hr_with = np.asarray(with_o3.swhr)[0, :10].mean()
+        assert hr_with > hr_no * 1.5 + 1e-9
+
+    def test_surface_flux_reasonable(self):
+        """Clear-sky MLS atmosphere, overhead-ish sun: surface insolation in
+        the observed range (~70-85% of TOA)."""
+        res = self.run(coszen=0.866)
+        toa = float(res.swdflx[0, 0])
+        sfc = float(res.swdflx[0, -1])
+        assert 0.6 * toa < sfc < 0.95 * toa
+
+    def test_direct_beam_less_than_total_down(self):
+        res = self.run()
+        assert np.all(np.asarray(res.dirdflx) <= np.asarray(res.swdflx) + 1e-6)
+
+    def test_cloud_reflects(self):
+        L = 40
+        cf = np.zeros((2, L))
+        cf[:, 28:32] = 1.0          # thick low cloud
+        tauc = np.zeros((2, L, 14))
+        tauc[:, 28:32, :] = 10.0
+        ssac = np.full((2, L, 14), 0.9994)
+        asmc = np.full((2, L, 14), 0.85)
+        clear = self.run()
+        cloudy = self.run(cldfrac=jnp.asarray(cf), taucld=jnp.asarray(tauc),
+                          ssacld=jnp.asarray(ssac), asmcld=jnp.asarray(asmc))
+        # clouds cut surface SW and raise planetary albedo
+        assert float(cloudy.swdflx[0, -1]) < 0.7 * float(clear.swdflx[0, -1])
+        assert float(cloudy.swuflx[0, 0]) > 2.0 * float(clear.swuflx[0, 0])
+        # clear-sky diagnostics unchanged by cloud
+        np.testing.assert_allclose(np.asarray(cloudy.swdflxc),
+                                   np.asarray(clear.swdflxc), rtol=1e-6)
+
+    def test_co2_sensitivity_small_but_finite(self):
+        base = self.run()
+        quad = self.run(co2vmr=1200.0e-6)
+        diff = abs(float(quad.swdflx[0, -1]) - float(base.swdflx[0, -1]))
+        assert 1e-4 < diff < 10.0
+
+
+class TestRRTMDriverIntegration:
+    def test_moist_model_with_rrtm_sw(self):
+        """GreyMoist model with radiation_scheme='rrtm' (RRTMG-SW + grey LW)
+        integrates stably and produces sane temperatures."""
+        import dataclasses
+
+        from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+
+        cfg = GreyMoistConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            core=dataclasses.replace(cfg.core, resolution="T21", num_levels=12),
+            physics=dataclasses.replace(cfg.physics, radiation_scheme="rrtm"),
+        )
+        model = GreyMoistModel(cfg)
+        state = model.initial_state()
+        state, diag = model.step_with_diagnostics(state, first=True)
+        for _ in range(5):
+            state = model.step(state)
+        tg = np.asarray(state.dyn.tg.curr)
+        assert np.all(np.isfinite(tg))
+        assert 150.0 < tg.mean() < 330.0
+        assert np.all(np.asarray(diag["swdn_sfc"]) >= -1e-6)
