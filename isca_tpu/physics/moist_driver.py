@@ -42,6 +42,7 @@ from isca_tpu.physics.mixed_layer import (
     mixed_layer_step,
 )
 from isca_tpu.physics.qe_moist_convection import QEMoistConvection, QEMoistConvectionConfig
+from isca_tpu.physics.ras import RAS, RASConfig
 from isca_tpu.physics.sat_vapor_pres import SatVaporPres
 from isca_tpu.physics.surface_flux import SurfaceFluxConfig, surface_flux
 from isca_tpu.physics.two_stream_gray import TwoStreamConfig, TwoStreamGray
@@ -50,7 +51,7 @@ from isca_tpu.physics.vert_diff import gcm_vert_diff_down, gcm_vert_diff_up
 
 @dataclasses.dataclass(frozen=True)
 class MoistPhysicsConfig:
-    convection_scheme: str = "SIMPLE_BETTS_MILLER"   # | FULL_BETTS_MILLER | NONE | DRY
+    convection_scheme: str = "SIMPLE_BETTS_MILLER"   # | FULL_BETTS_MILLER | RAS | NONE | DRY
     turb: bool = True
     do_damping: bool = False
     mixed_layer_bc: bool = True
@@ -80,6 +81,7 @@ class MoistPhysicsConfig:
     mixed_layer: MixedLayerConfig = MixedLayerConfig()
     dry_convection: DryConvectionConfig = DryConvectionConfig()
     betts_miller: BettsMillerConfig = BettsMillerConfig()
+    ras: RASConfig = RASConfig()
     damping: DampingDriverConfig = DampingDriverConfig()
     giant: GiantPlanetConfig = GiantPlanetConfig()
     cloud: CloudSimpleConfig = CloudSimpleConfig()
@@ -104,6 +106,7 @@ class MoistPhysics:
         self.svp = SatVaporPres(constants=self.C, do_simple=config.do_simple_sat)
         self.convection = QEMoistConvection(config.convection, self.svp)
         self.betts_miller = BettsMiller(config.betts_miller, self.svp)
+        self.ras = RAS(config.ras, self.svp)
         self.condensation = LscaleCond(config.condensation, self.svp)
         if config.radiation_scheme.lower() == "rrtm":
             from isca_tpu.physics.rrtm_radiation import RRTMConfig, RRTMRadiation
@@ -166,6 +169,21 @@ class MoistPhysics:
             conv_rain = conv.rain / delta_t
             depth_change_conv = conv.rain / C.dens_h2o
             diag.update(convection_rain=conv_rain, cape=conv.cape, cin=conv.cin)
+        elif cfg.convection_scheme == "RAS":
+            # Relaxed Arakawa-Schubert (idealized_moist_phys.F90:932)
+            rr = self.ras(delta_t, t_prev, q_prev, u_prev, v_prev,
+                          p_full_prev, p_half_prev,
+                          z_half_curr - z_half_curr[..., -1:])
+            tg_tmp = t_prev + rr.dt_t
+            qg_tmp = q_prev + rr.dt_q
+            dt_t = dt_t + rr.dt_t / delta_t
+            dt_q = dt_q + rr.dt_q / delta_t
+            dt_u = dt_u + rr.dt_u / delta_t
+            dt_v = dt_v + rr.dt_v / delta_t
+            conv_rain = (rr.rain + rr.snow) / delta_t
+            depth_change_conv = rr.rain / C.dens_h2o
+            diag.update(convection_rain=conv_rain, klcl=rr.klcl,
+                        ras_precip_ev=rr.precip_ev / delta_t)
         elif cfg.convection_scheme == "DRY":
             dc = dry_convection(cfg.dry_convection, t_prev, p_full_prev, p_half_prev)
             dt_t = dt_t + dc.dt_tg
