@@ -225,10 +225,16 @@ class MoistPhysics:
         dt_rad_avg = cfg.radiation.dt_rad_avg if cfg.radiation.dt_rad_avg > 0 else dt_real
         dt_rad_radians = dt_rad_avg / C.seconds_per_day * 2.0 * jnp.pi
         co2 = self.co2_series.at(time_seconds) if self.co2_series is not None else None
+        rad_kw = {}
+        if (self.cloud is not None
+                and cfg.radiation_scheme.lower() == "rrtm"):
+            # SimCloud -> RRTMG-SW cloud optics (beyond-reference coupling)
+            rad_kw["cloud_fields"] = (clouds.cf, clouds.reff_rad,
+                                      clouds.qcl_rad, clouds.frac_liq)
         rad_down = self.radiation.down(
             self.lat2d, self.lon2d, p_half_curr, t_prev, q_prev, albedo,
             gmt=gmt, time_since_ae=time_since_ae, dt_rad_avg=dt_rad_radians,
-            carbon_conc=co2,
+            carbon_conc=co2, **rad_kw,
         )
 
         # ---- surface fluxes (lowest level, previous) ----

@@ -69,7 +69,12 @@ class RRTMRadiation:
         self.o3_field = None        # optional (..., L) profile set by driver
 
     def down(self, lat, lon, p_half, t, q, albedo, gmt=0.0, time_since_ae=0.0,
-             dt_rad_avg=None, carbon_conc=None) -> RadDownResult:
+             dt_rad_avg=None, carbon_conc=None, cloud_fields=None) -> RadDownResult:
+        """cloud_fields: optional (cf, reff_rad [um], qcl_rad [kg/kg],
+        frac_liq) from SimCloud — converted to in-cloud water paths and fed
+        through cldprop_sw into the cloudy two-stream (a coupling the
+        reference stages but leaves commented out,
+        idealized_moist_phys.F90:1175)."""
         cfg = self.config
         down_lw = self.grey.down(lat, lon, p_half, t, q, albedo,
                                  gmt=gmt, time_since_ae=time_since_ae,
@@ -85,8 +90,21 @@ class RRTMRadiation:
         o3 = (self.o3_field if self.o3_field is not None
               else jnp.full_like(t, cfg.o3_mmr))
         co2 = (carbon_conc * 1e-6 if carbon_conc is not None else None)
+        cloud_kw = {}
+        if cloud_fields is not None:
+            from isca_tpu.physics.rrtmg_sw import cldprop_sw
+            cf, reff, qcl, frac_liq = cloud_fields
+            C = cfg.constants
+            dp = p_half[..., 1:] - p_half[..., :-1]
+            # in-cloud water path [g/m2]: grid-mean qcl / cloud fraction
+            cwp = qcl / jnp.maximum(cf, 1e-4) * dp / C.grav * 1.0e3
+            cwp = jnp.where(cf > 1e-4, cwp, 0.0)
+            clwp = cwp * frac_liq
+            ciwp = cwp * (1.0 - frac_liq)
+            tauc, ssac, asmc = cldprop_sw(cf, clwp, ciwp, reff, reff)
+            cloud_kw = dict(cldfrac=cf, taucld=tauc, ssacld=ssac, asmcld=asmc)
         swf = self.sw(p_half, p_full, t, q, o3, coszen,
-                      albedo, albedo, co2vmr=co2)
+                      albedo, albedo, co2vmr=co2, **cloud_kw)
         # Earth-sun distance factor scales incident flux (scalar rr)
         sw_down = swf.swdflx * rr
         sw_up_internal = swf.swuflx * rr

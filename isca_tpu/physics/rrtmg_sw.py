@@ -729,3 +729,95 @@ class RRTMGSw:
         swhr = (cfg.grav / cfg.cp_air) * (fnet[..., :-1] - fnet[..., 1:]) / dp
         return SwFluxes(swdflx=swdflx, swuflx=swuflx, swdflxc=swdflxc,
                         swuflxc=swuflxc, swhr=swhr, dirdflx=dirdflx)
+
+
+# ---------------------------------------------------------------------------
+# cloud optical properties (rrtmg_sw_cldprop.f90 cldprop_sw, inflag=2)
+# ---------------------------------------------------------------------------
+
+CLD_DATA = Path(__file__).resolve().parent.parent / "data" / "rrtmg_sw_cld.npz"
+
+
+class _CldTables:
+    _cache = None
+
+    def __new__(cls):
+        if cls._cache is None:
+            cls._cache = super().__new__(cls)
+            d = np.load(CLD_DATA)
+            cls._cache.t = {k: jnp.asarray(d[k].astype(np.float32))
+                            for k in d.files}
+        return cls._cache
+
+
+def cldprop_sw(cldfrac, clwp, ciwp, rel, rei, iceflag=2, liqflag=1):
+    """Per-band cloud optical properties from water paths and particle sizes.
+
+    Re-design of cldprop_sw (rrtmg_sw_cldprop.f90:40-226), inflag=2 path:
+      - liquid (liqflag=1): Hu & Stamnes (1993) tables extliq1/ssaliq1/
+        asyliq1 indexed by effective radius 2.5-60 um;
+      - ice iceflag=2: Streamer v3.0 tables (extice2...) for re 5-131 um;
+        iceflag=3: Fu (1996) generalized effective size tables (extice3...).
+
+    Inputs (..., L): cloud fraction, in-cloud liquid/ice water paths [g/m2],
+    liquid/ice effective radii [micron]. Returns UNSCALED (tau, ssa, g) per
+    band (..., L, 14) for the solver's combine-then-delta-scale cloudy path
+    (the reference applies the forward-peak scaling inside cldprop and skips
+    it in spcvrt's icpr>=1 branch — same operation, composed differently).
+    """
+    t = _CldTables().t
+    eps = 1e-6
+
+    # liquid: index = int(radliq - 1.5), clamped to 1..57 (1-based)
+    radliq = jnp.clip(rel, 2.5, 60.0)
+    idxl = jnp.clip((radliq - 1.5).astype(jnp.int32), 1, 57) - 1   # 0-based
+    fintl = radliq - 1.5 - (idxl + 1)
+    def liq(tab):
+        a = tab[idxl]                     # (..., L, 14)
+        b = tab[idxl + 1]
+        return a + fintl[..., None] * (b - a)
+    extliq = liq(t["extliq1"])
+    ssaliq = jnp.minimum(liq(t["ssaliq1"]), 1.0)
+    gliq = liq(t["asyliq1"])
+
+    if iceflag == 2:
+        radice = jnp.clip(rei, 5.0, 131.0)
+        factor = (radice - 2.0) / 3.0
+        idxi = jnp.minimum(factor.astype(jnp.int32), 42) - 1
+        idxi = jnp.clip(idxi, 0, 41)
+        finti = factor - (idxi + 1)
+        def ice(tab):
+            return tab[idxi] + finti[..., None] * (tab[idxi + 1] - tab[idxi])
+        extice = ice(t["extice2"])
+        ssaice = jnp.minimum(ice(t["ssaice2"]), 1.0)
+        gice = ice(t["asyice2"])
+    elif iceflag == 3:
+        radice = jnp.clip(rei, 5.0, 140.0)
+        factor = (radice - 2.0) / 3.0
+        idxi = jnp.minimum(factor.astype(jnp.int32), 45) - 1
+        idxi = jnp.clip(idxi, 0, 44)
+        finti = factor - (idxi + 1)
+        def ice(tab):
+            return tab[idxi] + finti[..., None] * (tab[idxi + 1] - tab[idxi])
+        extice = ice(t["extice3"])
+        ssaice = jnp.minimum(ice(t["ssaice3"]), 1.0)
+        gice = ice(t["asyice3"])
+    else:
+        raise ValueError(f"iceflag {iceflag} not supported (2 or 3)")
+
+    has_liq = (clwp > 0.0)[..., None]
+    has_ice = (ciwp > 0.0)[..., None]
+    tauliq = jnp.where(has_liq, clwp[..., None] * extliq, 0.0)
+    tauice = jnp.where(has_ice, ciwp[..., None] * extice, 0.0)
+    tauc = tauliq + tauice
+    scatliq = jnp.where(has_liq, ssaliq * tauliq, 0.0)
+    scatice = jnp.where(has_ice, ssaice * tauice, 0.0)
+    scat = scatliq + scatice
+    ssac = scat / jnp.maximum(tauc, eps)
+    asmc = (scatliq * gliq + scatice * gice) / jnp.maximum(scat, eps)
+
+    cloudy = (cldfrac > 1e-12)[..., None]
+    tauc = jnp.where(cloudy, tauc, 0.0)
+    ssac = jnp.where(cloudy, ssac, 1.0)
+    asmc = jnp.where(cloudy, asmc, 0.0)
+    return tauc, ssac, asmc

@@ -186,3 +186,70 @@ class TestRRTMDriverIntegration:
         assert np.all(np.isfinite(tg))
         assert 150.0 < tg.mean() < 330.0
         assert np.all(np.asarray(diag["swdn_sfc"]) >= -1e-6)
+
+
+class TestCldprop:
+    def test_liquid_cloud_properties(self):
+        from isca_tpu.physics.rrtmg_sw import cldprop_sw
+
+        L = 10
+        cf = np.zeros((2, L)); cf[:, 6] = 1.0
+        clwp = np.zeros((2, L)); clwp[:, 6] = 50.0   # g/m2
+        ciwp = np.zeros((2, L))
+        rel = np.full((2, L), 10.0)
+        rei = np.full((2, L), 30.0)
+        tauc, ssac, asmc = cldprop_sw(
+            jnp.asarray(cf), jnp.asarray(clwp), jnp.asarray(ciwp),
+            jnp.asarray(rel), jnp.asarray(rei))
+        t = np.asarray(tauc)
+        assert np.all(np.isfinite(t))
+        # 50 g/m2 at re=10um: visible tau ~ 3/2 * LWP/(rho re) ~ 7.5;
+        # band values within a sane range in the visible bands (9-13)
+        assert 2.0 < t[0, 6, 9] < 15.0
+        assert np.all(t[:, :6, :] == 0.0)
+        s = np.asarray(ssac)
+        assert np.all(s[0, 6, 8:13] > 0.97)         # visible: conservative
+        g = np.asarray(asmc)
+        assert np.all((g[0, 6] > 0.7) & (g[0, 6] < 0.95))
+
+    def test_ice_less_reflective_than_liquid(self):
+        from isca_tpu.physics.rrtmg_sw import cldprop_sw
+
+        L = 4
+        cf = np.ones((1, L))
+        wp = np.full((1, L), 30.0)
+        zero = np.zeros((1, L))
+        rel = np.full((1, L), 10.0)
+        rei = np.full((1, L), 40.0)
+        t_liq, _, _ = cldprop_sw(jnp.asarray(cf), jnp.asarray(wp),
+                                 jnp.asarray(zero), jnp.asarray(rel),
+                                 jnp.asarray(rei))
+        t_ice, _, _ = cldprop_sw(jnp.asarray(cf), jnp.asarray(zero),
+                                 jnp.asarray(wp), jnp.asarray(rel),
+                                 jnp.asarray(rei))
+        # larger ice particles extinguish less per unit mass
+        assert float(np.asarray(t_ice)[..., 10].mean()) < \
+            float(np.asarray(t_liq)[..., 10].mean())
+
+    def test_rrtm_with_simcloud_model(self):
+        """Full pipeline: SimCloud diagnostics -> cldprop -> cloudy RRTMG-SW
+        inside the moist model."""
+        import dataclasses
+
+        from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+
+        cfg = GreyMoistConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            core=dataclasses.replace(cfg.core, resolution="T21", num_levels=12),
+            physics=dataclasses.replace(cfg.physics, radiation_scheme="rrtm",
+                                        do_cloud_simple=True),
+        )
+        model = GreyMoistModel(cfg)
+        state = model.initial_state()
+        state, diag = model.step_with_diagnostics(state, first=True)
+        for _ in range(4):
+            state = model.step(state)
+        tg = np.asarray(state.dyn.tg.curr)
+        assert np.all(np.isfinite(tg)) and 150 < tg.mean() < 330
+        assert "cf" in diag
