@@ -453,3 +453,66 @@ class CloudSimple:
         diag.update(cf=cf, reff_rad=reff_rad, qcl_rad=qcl_rad)
         return CloudSimpleResult(cf=cf, reff_rad=reff_rad, qcl_rad=qcl_rad,
                                  frac_liq=frac_liq, diagnostics=diag)
+
+
+# ---------------------------------------------------------------------------
+# SPOOKIE-protocol cloud scheme (cloud_spookie.F90)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class CloudSpookieConfig:
+    """cloud_spookie_nml (cloud_spookie.F90: defaults at module head)."""
+    spookie_protocol: int = 2
+    cca_lower_limit: float = 0.0
+    rhc_sfc: float = 1.0
+    rhc_base: float = 0.7
+    rhc_top: float = 0.2
+    rh_min_sfc: float = 1.0
+    rh_min_base: float = 0.8
+    rh_min_top: float = 0.9
+    rh_max_sfc: float = 1.0
+    rh_max_base: float = 1.0
+    rh_max_top: float = 1.0
+    p_base: float = 70000.0
+    p_top: float = 20000.0
+    constants: Constants = EARTH
+
+
+def cloud_spookie(cfg: CloudSpookieConfig, svp, p_full, temp, q_hum):
+    """SPOOKIE comparison-protocol diagnostic clouds
+    (cloud_spookie.F90:84-180): two fixed RH-ramp protocols, a hard-coded
+    10/20 um liquid/ice effective radius and protocol-specific in-cloud
+    water. Returns (cf, cca, reff_rad [um], qcl_rad [kg/kg], diagnostics)."""
+    C = cfg.constants
+    qs = svp.qs(temp, p_full)
+    rh = q_hum / qs
+    p_surf = p_full[..., -1:]
+
+    frac_liq = jnp.clip(1.0 - (C.tfreeze - temp) / 40.0, 0.0, 1.0)
+    reff_rad = 10.0 * frac_liq + 20.0 * (1.0 - frac_liq)
+
+    def ramp(sfc, base, top):
+        low = sfc - (sfc - base) * (p_surf - p_full) / (p_surf - cfg.p_base)
+        mid = base - (base - top) * (cfg.p_base - p_full) / (cfg.p_base - cfg.p_top)
+        return jnp.where(p_full > cfg.p_base, low,
+                         jnp.where(p_full > cfg.p_top, mid, top))
+
+    if cfg.spookie_protocol == 1:
+        rhcrit = ramp(cfg.rhc_sfc, cfg.rhc_base, cfg.rhc_top)
+        cf = (rh - rhcrit) / (1.0 - rhcrit)
+        in_cloud_qcl = jnp.maximum(
+            0.0, 3.0e-4 + (1.0 - 3.0e-4) * (p_full - cfg.p_top) / 80000.0)
+        diag = {"simple_rhcrit": rhcrit * 100.0}
+    else:
+        rh_min = ramp(cfg.rh_min_sfc, cfg.rh_min_base, cfg.rh_min_top)
+        rh_max = ramp(cfg.rh_max_sfc, cfg.rh_max_base, cfg.rh_max_top)
+        cf = (rh - rh_min) / jnp.maximum(rh_max - rh_min, 1e-6)
+        in_cloud_qcl = jnp.clip(0.2 * (temp - 220.0) / (280.0 - 220.0),
+                                3.0e-4, 0.2)
+        diag = {"rh_min": rh_min * 100.0}
+    cf = jnp.clip(cf, 0.0, 1.0)
+    cca = jnp.maximum(jnp.zeros_like(cf), cfg.cca_lower_limit)
+    qcl_rad = cf * in_cloud_qcl / 1000.0
+    diag.update(cf=cf, reff_rad=reff_rad, frac_liq=frac_liq,
+                qcl_rad=qcl_rad, rh_in_cf=rh * 100.0)
+    return cf, cca, reff_rad, qcl_rad, diag

@@ -65,6 +65,7 @@ class MoistPhysicsConfig:
     raw_bucket: float = 0.53
     radiation_scheme: str = "two_stream"   # | "rrtm" (RRTMG-SW + grey LW)
     do_cloud_simple: bool = False    # SimCloud diagnostic clouds (idealized_moist_phys.F90:120)
+    do_cloud_spookie: bool = False   # SPOOKIE-protocol clouds (mutually exclusive)
     do_simple_sat: bool = True          # sat_vapor_pres do_simple (Frierson)
     roughness_mom: float = 0.05
     roughness_heat: float = 0.05
@@ -85,6 +86,7 @@ class MoistPhysicsConfig:
     damping: DampingDriverConfig = DampingDriverConfig()
     giant: GiantPlanetConfig = GiantPlanetConfig()
     cloud: CloudSimpleConfig = CloudSimpleConfig()
+    spookie: "CloudSpookieConfig" = None     # type: ignore[assignment]
     rrtm: "RRTMConfig | None" = None       # used when radiation_scheme="rrtm"
     constants: Constants = EARTH
 
@@ -114,6 +116,9 @@ class MoistPhysics:
         else:
             self.radiation = TwoStreamGray(config.radiation)
         self.cloud = CloudSimple(config.cloud, self.svp) if config.do_cloud_simple else None
+        if config.do_cloud_spookie:
+            from isca_tpu.physics.cloud_simple import CloudSpookieConfig
+            self.spookie_cfg = config.spookie or CloudSpookieConfig()
         self.lat2d = lats[:, None] * jnp.ones_like(lons)[None, :]
         self.lon2d = jnp.ones_like(lats)[:, None] * lons[None, :]
         ml = config.mixed_layer
@@ -219,6 +224,16 @@ class MoistPhysics:
                 p_half_curr[..., -1], ocean=ocean,
             )
             diag.update(clouds.diagnostics)
+        elif cfg.do_cloud_spookie:
+            from isca_tpu.physics.cloud_simple import (CloudSimpleResult,
+                                                       cloud_spookie)
+            cf_, cca_, reff_, qcl_, spk_diag = cloud_spookie(
+                self.spookie_cfg, self.svp, p_full_curr, t_prev, q_prev)
+            frac_liq_ = spk_diag["frac_liq"]
+            clouds = CloudSimpleResult(cf=cf_, reff_rad=reff_, qcl_rad=qcl_,
+                                       frac_liq=frac_liq_,
+                                       diagnostics=spk_diag)
+            diag.update(spk_diag)
 
         # ---- radiation: downward pass ----
         albedo = jnp.full(shape2d, cfg.mixed_layer.albedo_value, t_prev.dtype)
@@ -226,7 +241,7 @@ class MoistPhysics:
         dt_rad_radians = dt_rad_avg / C.seconds_per_day * 2.0 * jnp.pi
         co2 = self.co2_series.at(time_seconds) if self.co2_series is not None else None
         rad_kw = {}
-        if (self.cloud is not None
+        if ((self.cloud is not None or cfg.do_cloud_spookie)
                 and cfg.radiation_scheme.lower() == "rrtm"):
             # SimCloud -> RRTMG-SW cloud optics (beyond-reference coupling)
             rad_kw["cloud_fields"] = (clouds.cf, clouds.reff_rad,

@@ -201,3 +201,49 @@ class TestDriverIntegration:
         for key in ("cf", "reff_rad", "qcl_rad", "tot_cld_amt"):
             assert key in diag, key
         assert np.all(np.isfinite(np.asarray(diag["cf"])))
+
+
+class TestCloudSpookie:
+    def test_protocols_run_and_bound(self):
+        from isca_tpu.physics.cloud_simple import (CloudSpookieConfig,
+                                                   cloud_spookie)
+        from isca_tpu.physics.sat_vapor_pres import SatVaporPres
+
+        p_half, p_full, t, q, z, svp = make_column(L=20, rh=0.9)
+        for proto in (1, 2):
+            cfg = CloudSpookieConfig(spookie_protocol=proto)
+            cf, cca, reff, qcl, diag = cloud_spookie(cfg, svp, p_full, t, q)
+            assert np.all(np.asarray(cf) >= 0.0) and np.all(np.asarray(cf) <= 1.0)
+            assert np.all(np.isfinite(np.asarray(qcl)))
+            r = np.asarray(reff)
+            assert np.all((r >= 10.0 - 1e-6) & (r <= 20.0 + 1e-6))
+
+    def test_protocol2_saturated_full_cloud(self):
+        from isca_tpu.physics.cloud_simple import (CloudSpookieConfig,
+                                                   cloud_spookie)
+
+        p_half, p_full, t, q, z, svp = make_column(L=20)
+        qs = svp.qs(t, p_full)
+        cfg = CloudSpookieConfig()
+        cf, _, _, _, _ = cloud_spookie(cfg, svp, p_full, t, qs)
+        # at the surface rh_min_sfc = rh_max_sfc = 1 -> no cloud by design;
+        # above p_base saturation gives full cloud
+        above = np.asarray(p_full) < cfg.p_base
+        np.testing.assert_allclose(np.asarray(cf)[above], 1.0, atol=1e-5)
+
+    def test_spookie_in_moist_driver(self):
+        import dataclasses
+
+        from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+
+        cfg = GreyMoistConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            core=dataclasses.replace(cfg.core, resolution="T21", num_levels=10),
+            physics=dataclasses.replace(cfg.physics, do_cloud_spookie=True),
+        )
+        model = GreyMoistModel(cfg)
+        state = model.initial_state()
+        state, diag = model.step_with_diagnostics(state, first=True)
+        assert "cf" in diag and "rh_min" in diag
+        assert np.all(np.isfinite(np.asarray(diag["cf"])))
