@@ -1,4 +1,4 @@
-"""RRTM radiation adapter: RRTMG-SW correlated-k shortwave + LW seam.
+"""RRTM radiation adapter: RRTMG-SW + RRTMG-LW correlated-k radiation.
 
 Reference: src/atmos_param/rrtm_radiation/rrtm_radiation.F90 (the adapter
 that reshapes model fields to RRTMG columns, manages ozone/CO2 inputs, the
@@ -9,10 +9,13 @@ Status of the port:
   - SW: COMPLETE — `physics/rrtmg_sw.py` implements the full 14-band
     112-g-point correlated-k scheme with the reference's own extracted
     k-tables (see tools/extract_rrtmg_sw.py).
-  - LW: the reference loads its LW k-tables at RUNTIME from an external
-    `rrtmg_lw.nc` (rrtmg_lw_read_nc.f90:34 — the file is NOT part of the
-    reference repository; AER distributes it separately). Until that file
-    is supplied, this adapter pairs RRTMG-SW with the grey two-stream LW
+  - LW: COMPLETE algorithm — `physics/rrtmg_lw.py` implements the full
+    16-band 140-g-point scheme (setcoef/taumol/rtrn/cldprop).  The LW
+    k-tables are external data in BOTH frameworks: the reference loads
+    `rrtmg_lw.nc` at RUNTIME (rrtmg_lw_read_nc.f90:34; the file is not part
+    of the reference repository — AER distributes it separately).  Run
+    tools/extract_rrtmg_lw.py with that file to enable RRTMG-LW here; until
+    then this adapter pairs RRTMG-SW with the grey two-stream LW
     (Frierson/Byrne/Geen), which is exact parity with what a user of the
     reference can run from a bare checkout.
 
@@ -49,13 +52,20 @@ class RRTMConfig:
     equinox_day: float = 0.75
     albedo_value: float = 0.25      # used only if driver passes none
     o3_mmr: float = 0.0             # constant ozone mass mixing ratio fallback
-    # grey-LW companion configuration until the LW k-tables are supplied
+    # trace gases for the LW bands (rrtm_radiation.F90 has fixed defaults)
+    n2ovmr: float = 3.2e-7
+    ch4vmr: float = 1.8e-6
+    # LW scheme selection: "auto" = RRTMG-LW if its k-tables are installed,
+    # else grey; "rrtmg" forces RRTMG-LW; "grey" forces the two-stream LW.
+    lw_scheme: str = "auto"
+    lw_kg_path: str | None = None   # explicit k-table npz (tests)
+    # grey-LW companion configuration for the fallback
     lw: TwoStreamConfig = TwoStreamConfig()
     constants: Constants = EARTH
 
 
 class RRTMRadiation:
-    """RRTMG-SW + grey-LW radiation with the TwoStreamGray interface."""
+    """RRTMG-SW + (RRTMG-LW | grey-LW) radiation, TwoStreamGray interface."""
 
     def __init__(self, config: RRTMConfig = RRTMConfig()):
         self.config = config
@@ -63,7 +73,19 @@ class RRTMRadiation:
         self.sw = RRTMGSw(RRTMGSwConfig(
             scon=config.solr_cnst, co2vmr=config.co2ppmv * 1e-6,
             cp_air=C.cp_air, grav=C.grav))
-        # LW-only grey companion: solar off (handled by RRTMG-SW)
+        # LW scheme selection
+        from isca_tpu.physics.rrtmg_lw import (RRTMGLw, RRTMGLwConfig,
+                                               kg_available)
+        self.lw_rrtmg = None
+        use = config.lw_scheme
+        if use == "rrtmg" or (use == "auto" and
+                              (config.lw_kg_path or kg_available())):
+            self.lw_rrtmg = RRTMGLw(
+                RRTMGLwConfig(co2vmr=config.co2ppmv * 1e-6,
+                              n2ovmr=config.n2ovmr, ch4vmr=config.ch4vmr,
+                              grav=C.grav, cp_air=C.cp_air),
+                kg=config.lw_kg_path)
+        # grey companion (always built: fallback + window diagnostics)
         lw_cfg = dataclasses.replace(config.lw, solar_constant=0.0)
         self.grey = TwoStreamGray(lw_cfg)
         self.o3_field = None        # optional (..., L) profile set by driver
@@ -72,13 +94,9 @@ class RRTMRadiation:
              dt_rad_avg=None, carbon_conc=None, cloud_fields=None) -> RadDownResult:
         """cloud_fields: optional (cf, reff_rad [um], qcl_rad [kg/kg],
         frac_liq) from SimCloud — converted to in-cloud water paths and fed
-        through cldprop_sw into the cloudy two-stream (a coupling the
-        reference stages but leaves commented out,
-        idealized_moist_phys.F90:1175)."""
+        through cldprop into the cloudy solvers (a coupling the reference
+        stages but leaves commented out, idealized_moist_phys.F90:1175)."""
         cfg = self.config
-        down_lw = self.grey.down(lat, lon, p_half, t, q, albedo,
-                                 gmt=gmt, time_since_ae=time_since_ae,
-                                 dt_rad_avg=dt_rad_avg)
         # coszen with the same astronomy options as the reference adapter
         orbit = astro.Orbit()
         dtr = dt_rad_avg if cfg.use_time_average_coszen else None
@@ -90,7 +108,9 @@ class RRTMRadiation:
         o3 = (self.o3_field if self.o3_field is not None
               else jnp.full_like(t, cfg.o3_mmr))
         co2 = (carbon_conc * 1e-6 if carbon_conc is not None else None)
+
         cloud_kw = {}
+        lw_cloud_kw = {}
         if cloud_fields is not None:
             from isca_tpu.physics.rrtmg_sw import cldprop_sw
             cf, reff, qcl, frac_liq = cloud_fields
@@ -103,6 +123,36 @@ class RRTMRadiation:
             ciwp = cwp * (1.0 - frac_liq)
             tauc, ssac, asmc = cldprop_sw(cf, clwp, ciwp, reff, reff)
             cloud_kw = dict(cldfrac=cf, taucld=tauc, ssacld=ssac, asmcld=asmc)
+            lw_cloud_kw = dict(cldfrac=cf, clwp=clwp, ciwp=ciwp,
+                               rel=jnp.clip(reff, 2.5, 60.0),
+                               rei=jnp.clip(reff, 5.0, 131.0))
+
+        # ---- LW ----
+        if self.lw_rrtmg is not None:
+            # half-level temperatures: interior = mean of adjacent layers,
+            # endpoints extrapolated (rrtm_radiation.F90 tz staging)
+            t_half = jnp.concatenate([
+                t[..., :1],
+                0.5 * (t[..., 1:] + t[..., :-1]),
+                1.5 * t[..., -1:] - 0.5 * t[..., -2:-1]], axis=-1)
+            lw_down_flux, self._lw_stash = self.lw_rrtmg.down_phase(
+                p_half, p_full, t, t_half, q, o3, co2vmr=co2, **lw_cloud_kw)
+            surf_lw_down = lw_down_flux[..., -1]
+            lw_down = lw_down_flux
+            zl = jnp.zeros_like(t)
+            grey_fields = dict(lw_dtrans=zl, lw_dtrans_win=zl, b=zl, b_win=zl)
+        else:
+            down_lw = self.grey.down(lat, lon, p_half, t, q, albedo,
+                                     gmt=gmt, time_since_ae=time_since_ae,
+                                     dt_rad_avg=dt_rad_avg)
+            surf_lw_down = down_lw.surf_lw_down
+            lw_down = down_lw.lw_down
+            grey_fields = dict(lw_dtrans=down_lw.lw_dtrans,
+                               lw_dtrans_win=down_lw.lw_dtrans_win,
+                               b=down_lw.b, b_win=down_lw.b_win)
+            self._grey_down = down_lw
+
+        # ---- SW ----
         swf = self.sw(p_half, p_full, t, q, o3, coszen,
                       albedo, albedo, co2vmr=co2, **cloud_kw)
         # Earth-sun distance factor scales incident flux (scalar rr)
@@ -114,19 +164,23 @@ class RRTMRadiation:
         self._sw_up = sw_up_internal
         return RadDownResult(
             net_surf_sw_down=net_surf_sw_down,
-            surf_lw_down=down_lw.surf_lw_down,
-            lw_dtrans=down_lw.lw_dtrans,
-            lw_down=down_lw.lw_down,
+            surf_lw_down=surf_lw_down,
+            lw_down=lw_down,
             sw_down=sw_down,
-            lw_dtrans_win=down_lw.lw_dtrans_win,
-            b=down_lw.b,
-            b_win=down_lw.b_win,
             coszen=coszen,
             insolation=cfg.solr_cnst * coszen,
+            **grey_fields,
         )
 
     def up(self, down: RadDownResult, p_half, t_surf, albedo) -> RadResult:
-        lw = self.grey.up(down, p_half, t_surf, albedo)
+        if self.lw_rrtmg is not None:
+            lwf = self.lw_rrtmg.up_phase(self._lw_stash, t_surf)
+            tdt_rad = lwf.hr + self._sw_heat
+            net_lw_surf = lwf.uflx[..., -1] - lwf.lw_dn_surf
+            return RadResult(
+                tdt_rad=tdt_rad, tdt_solar=self._sw_heat, olr=lwf.olr,
+                lw_up=lwf.uflx, sw_up=self._sw_up, net_lw_surf=net_lw_surf)
+        lw = self.grey.up(self._grey_down, p_half, t_surf, albedo)
         # grey up() includes its own (zero-insolation) SW; add RRTMG SW heating
         tdt_rad = lw.tdt_rad + self._sw_heat
         return RadResult(

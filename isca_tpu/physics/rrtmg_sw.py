@@ -693,7 +693,11 @@ class RRTMGSw:
             zgco = (tc * wc * gc) / jnp.maximum(zomco, 1e-20)
             zomco = zomco / jnp.maximum(ztauo, 1e-20)
             ztauo, zomco, zgco = _delta_scale(ztauo, zomco, zgco)
-            cf = cldfrac[..., None]
+            # per-layer cloud fraction, or per-g-point binary (McICA
+            # subcolumns from physics/mcica.py) — the fraction blend below
+            # covers both (binary cf selects clear/cloudy exactly)
+            cf = (cldfrac if cldfrac.ndim == ztauc.ndim
+                  else cldfrac[..., None])
             ref_c_, refd_c_, tra_c_, trad_c_ = reftra_sw(ztauc, zomcc, zgcc, mu0)
             ref_o, refd_o, tra_o, trad_o = reftra_sw(ztauo, zomco, zgco, mu0)
             ref = (1 - cf) * ref_c_ + cf * ref_o

@@ -1,0 +1,260 @@
+"""RRTMG-LW tests.
+
+The AER k-tables are external data (rrtmg_lw.nc) the reference also lacks, so
+these tests exercise the full algorithm with shape-correct synthetic tables
+(tools/extract_rrtmg_lw.make_synthetic_kg) plus exact limits with zeroed
+tables, and validate the static extraction (Planck integrals vs sigma*T^4).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from extract_rrtmg_lw import make_synthetic_kg  # noqa: E402
+from isca_tpu.physics.rrtmg_lw import (  # noqa: E402
+    NGC,
+    RRTMGLw,
+    RRTMGLwConfig,
+    _Static,
+    cldprop_lw,
+)
+
+SIGMA = 5.670400e-8   # rrtmg's own sbcnst (rrtmg_lw_init.f90:252, cgs 5.67e-4)
+
+
+@pytest.fixture(scope="module")
+def kg():
+    return make_synthetic_kg(seed=0)
+
+
+@pytest.fixture(scope="module")
+def kg_zero(kg):
+    out = {}
+    for k, v in kg.items():
+        v = np.asarray(v, float)
+        out[k] = v if "fracref" in k else np.zeros_like(v)
+    return out
+
+
+def column(ncol=3, L=20, ts=295.0):
+    sig = np.linspace(0.03, 0.97, L)
+    ps = 1.0e5
+    p_full = np.broadcast_to(sig * ps, (ncol, L)).copy()
+    ph = np.concatenate([[2e2], 0.5 * (sig[1:] + sig[:-1]) * ps, [ps]])
+    p_half = np.broadcast_to(ph, (ncol, L + 1)).copy()
+    t_full = 215 + (ts - 20 - 215) * sig[None, :] * np.ones((ncol, 1))
+    th = 215 + (ts - 20 - 215) * np.concatenate(
+        [[sig[0]], 0.5 * (sig[1:] + sig[:-1]), [1.0]])
+    t_half = np.broadcast_to(th, (ncol, L + 1)).copy()
+    t_surf = np.full(ncol, ts)
+    q = 8e-3 * np.exp(-(1 - sig[None, :]) * 5) * np.ones((ncol, 1))
+    o3 = 1e-6 * np.exp(-np.log(p_full / 3e3) ** 2)
+    return tuple(map(jnp.asarray, (p_half, p_full, t_full, t_half,
+                                   t_surf, q, o3)))
+
+
+def test_planck_table_integrates_to_stefan_boltzmann():
+    st = _Static()
+    tp, dw = st["totplnk"], st["delwave"]
+    for T in (180, 240, 300, 330):
+        tot = (tp[int(T - 159) - 1] * dw).sum() * np.pi * 2e4 * 0.5
+        assert abs(tot / (SIGMA * T ** 4) - 1) < 2e-4
+
+
+def test_synthetic_fracs_normalized(kg):
+    # Planck fractions must partition each band (unweighted cmbgb sums)
+    for b in range(1, 17):
+        for name in ("fracrefa", "fracrefb"):
+            k = f"b{b}_{name}"
+            if k in kg:
+                s = np.asarray(kg[k]).sum(axis=0)
+                assert np.allclose(s, 1.0, atol=1e-12), (k, s)
+
+
+def test_transparent_limit_matches_surface_planck(kg_zero):
+    lw = RRTMGLw(RRTMGLwConfig(), kg=kg_zero)
+    args = column(ts=295.0)
+    out = lw(*args)
+    # zero optical depth: OLR = surface emission, no downward flux,
+    # no heating anywhere
+    np.testing.assert_allclose(np.asarray(out.olr), SIGMA * 295.0 ** 4,
+                               rtol=3e-4)
+    assert float(np.abs(np.asarray(out.dflx)).max()) < 1e-8
+    assert float(np.abs(np.asarray(out.hr)).max()) < 1e-12
+    # clear == total
+    np.testing.assert_allclose(np.asarray(out.uflxc), np.asarray(out.uflx))
+
+
+def test_opaque_limit_surface_down_is_local_planck(kg):
+    # scale water up so every layer is optically thick: downward flux at the
+    # surface approaches the Planck emission at the lowest-level temperature
+    lw = RRTMGLw(RRTMGLwConfig(), kg=kg)
+    p_half, p_full, t_full, t_half, t_surf, q, o3 = column(ts=300.0)
+    q = jnp.minimum(q * 50.0, 0.2)
+    out = lw(p_half, p_full, t_full, t_half, t_surf, q, o3)
+    t_low = float(t_half[0, -1])
+    got = float(out.lw_dn_surf[0])
+    assert abs(got / (SIGMA * t_low ** 4) - 1) < 0.05
+
+
+def test_fluxes_finite_and_consistent(kg):
+    lw = RRTMGLw(RRTMGLwConfig(co2vmr=3e-4, n2ovmr=3.2e-7, ch4vmr=1.8e-6,
+                               cfc11vmr=1e-10, cfc12vmr=1e-10,
+                               ccl4vmr=1e-10, cfc22vmr=1e-10), kg=kg)
+    out = lw(*column())
+    for f in (out.uflx, out.dflx, out.hr, out.olr):
+        assert np.isfinite(np.asarray(f)).all()
+    assert float(np.asarray(out.dflx)[..., 0].max()) == 0.0  # TOA down = 0
+    assert (np.asarray(out.uflx) > 0).all()
+    # split-phase API identical to one-shot
+    p_half, p_full, t_full, t_half, t_surf, q, o3 = column()
+    dn, stash = lw.down_phase(p_half, p_full, t_full, t_half, q, o3)
+    out2 = lw.up_phase(stash, t_surf)
+    np.testing.assert_allclose(np.asarray(dn), np.asarray(out.dflx))
+    np.testing.assert_allclose(np.asarray(out2.uflx), np.asarray(out.uflx))
+
+
+def test_warmer_surface_increases_olr(kg):
+    lw = RRTMGLw(RRTMGLwConfig(), kg=kg)
+    p_half, p_full, t_full, t_half, t_surf, q, o3 = column()
+    out1 = lw(p_half, p_full, t_full, t_half, t_surf, q, o3)
+    out2 = lw(p_half, p_full, t_full, t_half, t_surf + 10.0, q, o3)
+    assert (np.asarray(out2.olr) > np.asarray(out1.olr)).all()
+    # downward flux must not depend on t_surf (emissivity = 1)
+    np.testing.assert_allclose(np.asarray(out1.dflx), np.asarray(out2.dflx))
+
+
+def test_cloud_reduces_olr_and_clear_sky_unchanged(kg):
+    lw = RRTMGLw(RRTMGLwConfig(), kg=kg)
+    p_half, p_full, t_full, t_half, t_surf, q, o3 = column()
+    ncol, L = q.shape
+    cf = np.zeros((ncol, L)); cf[:, 6] = 1.0
+    clwp = np.zeros((ncol, L)); clwp[:, 6] = 80.0
+    ciwp = np.zeros((ncol, L)); ciwp[:, 6] = 20.0
+    rel = np.full((ncol, L), 12.0)
+    rei = np.full((ncol, L), 40.0)
+    clear = lw(p_half, p_full, t_full, t_half, t_surf, q, o3)
+    cloudy = lw(p_half, p_full, t_full, t_half, t_surf, q, o3,
+                cldfrac=jnp.asarray(cf), clwp=jnp.asarray(clwp),
+                ciwp=jnp.asarray(ciwp), rel=jnp.asarray(rel),
+                rei=jnp.asarray(rei))
+    assert (np.asarray(cloudy.olr) < np.asarray(clear.olr) - 1.0).all()
+    assert (np.asarray(cloudy.lw_dn_surf) > np.asarray(clear.lw_dn_surf)).all()
+    np.testing.assert_allclose(np.asarray(cloudy.uflxc),
+                               np.asarray(clear.uflx), rtol=1e-10)
+    # partial cloud sits between clear and overcast
+    half = lw(p_half, p_full, t_full, t_half, t_surf, q, o3,
+              cldfrac=jnp.asarray(0.5 * cf), clwp=jnp.asarray(clwp),
+              ciwp=jnp.asarray(ciwp), rel=jnp.asarray(rel),
+              rei=jnp.asarray(rei))
+    assert (np.asarray(cloudy.olr) < np.asarray(half.olr)).all()
+    assert (np.asarray(half.olr) < np.asarray(clear.olr)).all()
+
+
+def test_cldprop_lw_positive_and_zero_outside_cloud():
+    st = _Static()
+    cf = jnp.asarray([[0.0, 1.0, 0.5]])
+    clwp = jnp.asarray([[0.0, 50.0, 0.0]])
+    ciwp = jnp.asarray([[0.0, 10.0, 30.0]])
+    rel = jnp.full((1, 3), 10.0)
+    rei = jnp.full((1, 3), 50.0)
+    tau = np.asarray(cldprop_lw(cf, clwp, ciwp, rel, rei, st))
+    assert tau.shape == (1, 3, 16)
+    assert (tau[0, 0] == 0).all()
+    assert (tau[0, 1] > 0).all()
+    assert (tau[0, 2] > 0).all()
+
+
+def test_more_co2_warms_less_olr(kg):
+    args = column()
+    olrs = []
+    for co2 in (150e-6, 300e-6, 600e-6):
+        lw = RRTMGLw(RRTMGLwConfig(co2vmr=co2), kg=kg)
+        olrs.append(float(lw(*args).olr[0]))
+    assert olrs[0] > olrs[1] > olrs[2]
+
+
+def test_gpoint_count_consistency(kg):
+    assert sum(NGC) == 140
+    for b in range(1, 17):
+        assert kg[f"b{b}_absa"].shape[1] == NGC[b - 1]
+
+
+def test_moist_model_with_rrtmg_lw(kg, tmp_path):
+    """Full GreyMoist model with radiation_scheme='rrtm' and RRTMG-LW active
+    (synthetic k-tables) integrates stably."""
+    import dataclasses
+
+    from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+    from isca_tpu.physics.rrtm_radiation import RRTMConfig
+
+    kg_path = tmp_path / "kg.npz"
+    np.savez(kg_path, **kg)
+    cfg = GreyMoistConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        core=dataclasses.replace(cfg.core, resolution="T21", num_levels=12),
+        physics=dataclasses.replace(
+            cfg.physics, radiation_scheme="rrtm",
+            rrtm=RRTMConfig(lw_scheme="rrtmg", lw_kg_path=str(kg_path))),
+    )
+    model = GreyMoistModel(cfg)
+    state = model.initial_state()
+    state, diag = model.step_with_diagnostics(state, first=True)
+    for _ in range(5):
+        state = model.step(state)
+    tg = np.asarray(state.dyn.tg.curr)
+    assert np.all(np.isfinite(tg))
+    assert 150.0 < tg.mean() < 330.0
+    assert np.all(np.isfinite(np.asarray(diag["olr"])))
+
+
+def test_mcica_subcolumns_statistics():
+    """Subcolumn cloud fraction averages back to the grid-mean fraction; the
+    max-random rule makes vertically contiguous cloud share subcolumns."""
+    import jax
+    from isca_tpu.physics.mcica import mcica_subcol
+
+    key = jax.random.PRNGKey(0)
+    L, ns = 10, 4000
+    cf = np.zeros((1, L)); cf[0, 3:6] = 0.4
+    clwp = np.where(cf > 0, 50.0, 0.0)
+    cldf_mc, clwp_mc, _ = mcica_subcol(key, jnp.asarray(cf),
+                                       jnp.asarray(clwp),
+                                       jnp.zeros_like(jnp.asarray(clwp)), ns)
+    mean_cf = np.asarray(cldf_mc).mean(axis=-1)
+    np.testing.assert_allclose(mean_cf[0, 3:6], 0.4, atol=0.03)
+    assert (mean_cf[0, :3] == 0).all() and (mean_cf[0, 6:] == 0).all()
+    # max-random: contiguous layers with equal fraction are maximally
+    # overlapped -> the same subcolumns are cloudy at layers 3 and 5
+    m = np.asarray(cldf_mc[0])
+    agree = (m[3] == m[5]).mean()
+    assert agree > 0.95
+    # cloudy subcolumns carry the full in-cloud water
+    assert np.asarray(clwp_mc)[0, 4][m[4] > 0].min() == 50.0
+
+
+def test_mcica_lw_converges_to_overcast(kg):
+    """With cldfrac=1 everywhere cloudy, McICA and the fractional path agree
+    exactly (every subcolumn is cloudy)."""
+    import jax
+    lw = RRTMGLw(RRTMGLwConfig(), kg=kg)
+    p_half, p_full, t_full, t_half, t_surf, q, o3 = column()
+    ncol, L = q.shape
+    cf = np.zeros((ncol, L)); cf[:, 6] = 1.0
+    clwp = np.zeros((ncol, L)); clwp[:, 6] = 60.0
+    ciwp = np.zeros((ncol, L))
+    rel = np.full((ncol, L), 12.0); rei = np.full((ncol, L), 40.0)
+    kw = dict(cldfrac=jnp.asarray(cf), clwp=jnp.asarray(clwp),
+              ciwp=jnp.asarray(ciwp), rel=jnp.asarray(rel),
+              rei=jnp.asarray(rei))
+    frac = lw(p_half, p_full, t_full, t_half, t_surf, q, o3, **kw)
+    mc = lw(p_half, p_full, t_full, t_half, t_surf, q, o3,
+            mcica_key=jax.random.PRNGKey(7), **kw)
+    np.testing.assert_allclose(np.asarray(mc.olr), np.asarray(frac.olr),
+                               rtol=1e-6)
