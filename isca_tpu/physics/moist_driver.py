@@ -76,9 +76,17 @@ class MoistPhysicsConfig:
     condensation: LscaleCondConfig = LscaleCondConfig(do_simple=False, do_evap=False)
     radiation: TwoStreamConfig = TwoStreamConfig()
     surface: SurfaceFluxConfig = SurfaceFluxConfig()
-    bl_scheme: str = "diffusivity"   # | "mellor_yamada" (vert_turb_driver.F90)
+    # vert_turb_driver.F90:103-122 scheme selection: do_diffusivity /
+    # do_mellor_yamada / do_entrain / do_edt / do_stable_bl (+shallow_conv)
+    bl_scheme: str = "diffusivity"   # | "mellor_yamada" | "entrain" | "edt"
+    #                                | "stable_bl"
     bl: DiffusivityConfig = DiffusivityConfig(do_simple=True, frac_inner=0.1)
     my25: "MY25Config" = None        # type: ignore[assignment]
+    entrain: "EntrainConfig" = None  # type: ignore[assignment]
+    edt: "EDTConfig" = None          # type: ignore[assignment]
+    stable_bl: "StableBLConfig" = None   # type: ignore[assignment]
+    do_shallow_conv: bool = False    # add shallow-convection K to diff_t
+    shallow_conv: "ShallowConvConfig" = None  # type: ignore[assignment]
     mixed_layer: MixedLayerConfig = MixedLayerConfig()
     dry_convection: DryConvectionConfig = DryConvectionConfig()
     betts_miller: BettsMillerConfig = BettsMillerConfig()
@@ -339,6 +347,51 @@ class MoistPhysics:
             active = my.tke[..., 1:] > 1.0e-3
             diag["z_pbl"] = jnp.max(
                 jnp.where(active, zh_ag[..., 1:], 0.0), axis=-1)
+        elif cfg.bl_scheme.lower() == "edt":
+            # vert_turb_driver.F90:107 EDT branch (Grenier-Bretherton TKE)
+            from isca_tpu.physics.edt import EDTConfig, edt
+            edt_cfg = cfg.edt or EDTConfig(constants=C)
+            tdtlw = rad.tdt_rad - rad.tdt_solar
+            zeros3 = jnp.zeros_like(t_prev)
+            r = edt(edt_cfg, tdtlw, u_star, b_star, t_prev, q_prev,
+                    zeros3, zeros3, diag.get("cf", zeros3),
+                    u_prev, v_prev, z_full_curr, p_full_curr,
+                    z_half_curr, p_half_curr)
+            bl_km, bl_kt = r.k_m, r.k_t
+            diag["z_pbl"] = r.pblh
+            diag["tke_edt"] = r.tke
+        elif cfg.bl_scheme.lower() == "entrain":
+            # vert_turb_driver.F90:110 entrain branch (Bretherton closure):
+            # base diffusivities from the K-profile scheme, overwritten
+            # inside detected mixed layers
+            from isca_tpu.physics.entrain import EntrainConfig, entrain
+            en_cfg = cfg.entrain or EntrainConfig(constants=C)
+            base = diffusivity(
+                cfg.bl, t_prev, q_prev, u_prev, v_prev,
+                p_full_curr, p_half_curr, z_full_curr - z_surf[..., None],
+                z_half_curr - z_surf[..., None], u_star, b_star,
+            )
+            tdtlw = rad.tdt_rad - rad.tdt_solar
+            zeros3 = jnp.zeros_like(t_prev)
+            r = entrain(en_cfg, tdtlw, jnp.zeros(shape2d, bool),
+                        u_star, b_star, t_prev, q_prev, zeros3, zeros3,
+                        diag.get("cf", zeros3), u_prev, v_prev,
+                        z_full_curr, p_full_curr, z_half_curr, p_half_curr,
+                        base.k_m, base.k_t)
+            bl_km, bl_kt = r.k_m, r.k_t
+            diag["z_pbl"] = jnp.maximum(r.zsml, r.zradtop)
+            diag["wentr_pbl"] = r.wentr_pbl
+        elif cfg.bl_scheme.lower() == "stable_bl":
+            # vert_turb_driver.F90:108 stable-BL branch (Louis/MO local K)
+            from isca_tpu.physics.bl_schemes import (StableBLConfig,
+                                                     stable_bl_turb)
+            sb_cfg = cfg.stable_bl or StableBLConfig(constants=C)
+            r = stable_bl_turb(
+                sb_cfg, self.lat2d, t_prev, q_prev, u_prev, v_prev,
+                z_full_curr - z_surf[..., None],
+                z_half_curr - z_surf[..., None], u_star, b_star)
+            bl_km, bl_kt = r.akm, r.akh
+            diag["z_pbl"] = r.z_sbl
         else:
             bl = diffusivity(
                 cfg.bl, t_prev, q_prev, u_prev, v_prev,
@@ -347,6 +400,16 @@ class MoistPhysics:
             )
             bl_km, bl_kt = bl.k_m, bl.k_t
             diag["z_pbl"] = bl.h_pbl
+
+        if cfg.do_shallow_conv:
+            # vert_turb_driver.F90:103 shallow_conv adds to the heat K
+            from isca_tpu.physics.bl_schemes import (ShallowConvConfig,
+                                                     shallow_conv)
+            sc_cfg = cfg.shallow_conv or ShallowConvConfig(constants=C)
+            akhsc, _ = shallow_conv(sc_cfg, self.svp, t_prev, q_prev,
+                                    p_full_curr, p_half_curr)
+            bl_kt = bl_kt + akhsc
+            diag["akhsc"] = akhsc
 
         # ---- vertical diffusion down / mixed layer / up ----
         zero2 = jnp.zeros(shape2d, t_prev.dtype)

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 import dataclasses
 
+import math
+
 import jax.numpy as jnp
 
 from isca_tpu.constants import Constants, EARTH
@@ -72,7 +74,7 @@ def _goff_gratch_es(t, tfreeze):
         -9.09718 * (tbasi / t - 1.0)
         - 3.56654 * jnp.log10(tbasi / t)
         + 0.876793 * (1.0 - t / tbasi)
-        + jnp.log10(ESBASI)
+        + math.log10(ESBASI)
     )
     esice = 10.0**x_i
     x_w = (
@@ -80,7 +82,7 @@ def _goff_gratch_es(t, tfreeze):
         + 5.02808 * jnp.log10(tbasw / t)
         - 1.3816e-07 * (10.0 ** ((1.0 - t / tbasw) * 11.344) - 1.0)
         + 8.1328e-03 * (10.0 ** ((tbasw / t - 1.0) * (-3.49149)) - 1.0)
-        + jnp.log10(ESBASW)
+        + math.log10(ESBASW)
     )
     esh2o = 10.0**x_w
     blend = 0.05 * ((tbasi - t) * esice + (t - tbasi + 20.0) * esh2o)
