@@ -13,13 +13,35 @@ import json
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
+
+# The TPU tunnel backend only supports plain host<->device transfers for
+# REAL dtypes; complex leaves are split to (re, im) on device under jit and
+# recombined host-side (and vice versa on load).
+_split_c = jax.jit(lambda v: (jnp.real(v), jnp.imag(v)))
+_join_c = jax.jit(lambda r, i: jax.lax.complex(r, i))
+
+
+def _to_host(v):
+    if hasattr(v, "dtype") and jnp.iscomplexobj(v):
+        re, im = _split_c(v)
+        return np.asarray(re) + 1j * np.asarray(im)
+    return np.asarray(v)
+
+
+def _to_device(arr, dtype):
+    if np.iscomplexobj(arr):
+        real_dt = np.zeros((), dtype).real.dtype
+        return _join_c(jnp.asarray(np.ascontiguousarray(arr.real), real_dt),
+                       jnp.asarray(np.ascontiguousarray(arr.imag), real_dt))
+    return jnp.asarray(arr, dtype=dtype)
 
 
 def _flatten_with_paths(tree):
     flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
     paths = [jax.tree_util.keystr(p) for p, _ in flat]
-    leaves = [np.asarray(v) for _, v in flat]
+    leaves = [_to_host(v) for _, v in flat]
     return paths, leaves, treedef
 
 
@@ -49,5 +71,5 @@ def load_restart(path: str, like):
                 f"restart resolution mismatch for leaf {paths_like[i]}: "
                 f"{arr.shape} vs {np.shape(tmpl)}"
             )
-        leaves.append(jax.numpy.asarray(arr, dtype=tmpl.dtype))
+        leaves.append(_to_device(arr, tmpl.dtype))
     return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(like), leaves)

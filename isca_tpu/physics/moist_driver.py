@@ -136,6 +136,7 @@ class MoistPhysics:
         self.land_mask = None   # optional (nlat, nlon) float mask set by the model
         self.co2_series = None   # optional TimeSeries of CO2 ppmv
         self.sst_series = None   # optional TimeSeries of prescribed SSTs (lat, lon)
+        self.o3_series = None    # optional PressureTimeSeries of ozone mmr
         self.hprime = jnp.zeros_like(self.lat2d)  # subgrid-orography stdev (mg_drag)
         self.cg_drag = None     # CgDrag instance; see init_cg_drag
 
@@ -248,6 +249,11 @@ class MoistPhysics:
         dt_rad_avg = cfg.radiation.dt_rad_avg if cfg.radiation.dt_rad_avg > 0 else dt_real
         dt_rad_radians = dt_rad_avg / C.seconds_per_day * 2.0 * jnp.pi
         co2 = self.co2_series.at(time_seconds) if self.co2_series is not None else None
+        if self.o3_series is not None and hasattr(self.radiation, "o3_field"):
+            # time-varying ozone climatology interpolated onto the current
+            # model pressures (rrtm_radiation.F90 o3 input via interpolator)
+            self.radiation.o3_field = self.o3_series.at(
+                time_seconds, p_full_curr)
         rad_kw = {}
         if ((self.cloud is not None or cfg.do_cloud_spookie)
                 and cfg.radiation_scheme.lower() == "rrtm"):

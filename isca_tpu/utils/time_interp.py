@@ -83,3 +83,101 @@ def from_netcdf(path: str, var: str, time_units_seconds: float = 86400.0,
         times=jnp.asarray(np.asarray(t, np.float64) * time_units_seconds, dtype),
         periodic=periodic, period_seconds=float(period_seconds),
     )
+
+
+def interp_pressure(field, plevs, p_full):
+    """Vertical interpolation of a pressure-level climatology onto model
+    levels inside jit — the reference interpolator's INTERP_WEIGHTED_P mode
+    (src/atmos_shared/interpolator/interpolator.F90).
+
+    field: (..., nplev) values on climatology pressure levels (any leading
+    dims broadcastable against p_full's leading dims); plevs: (nplev,)
+    increasing [Pa]; p_full: (..., L) model pressures [Pa].  Linear in
+    log-pressure, constant extrapolation outside the climatology range.
+    """
+    plevs = jnp.asarray(plevs, p_full.dtype)
+    logp = jnp.log(plevs)
+    lt = jnp.log(p_full)
+    np_ = plevs.shape[0]
+    i0 = jnp.clip(jnp.searchsorted(logp, lt, side="right") - 1, 0, np_ - 2)
+    w = jnp.clip((lt - logp[i0]) / (logp[i0 + 1] - logp[i0]), 0.0, 1.0)
+    f = jnp.broadcast_to(field, p_full.shape[:-1] + (np_,))
+    lo = jnp.take_along_axis(f, i0, axis=-1)
+    hi = jnp.take_along_axis(f, i0 + 1, axis=-1)
+    return (1.0 - w) * lo + w * hi
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["series", "plevs"],
+    meta_fields=[],
+)
+@dataclasses.dataclass(frozen=True)
+class PressureTimeSeries:
+    """Time-varying climatology on fixed pressure levels (e.g. ozone): time
+    interpolation + per-column log-p vertical interpolation, all on device.
+
+    series.data has shape (nt, ..., nplev) with the pressure axis LAST (the
+    loader moves it); `at(t, p_full)` returns (..., L) on model levels.
+    """
+
+    series: TimeSeries
+    plevs: jax.Array        # (nplev,) increasing [Pa]
+
+    def at(self, time_seconds, p_full):
+        f = self.series.at(time_seconds)       # (..., nplev)
+        return interp_pressure(f, self.plevs, p_full)
+
+
+def load_pressure_climatology(path, var, lat_model, lon_model,
+                              periodic=True,
+                              year_seconds=360 * 86400.0,
+                              dtype=jnp.float32) -> PressureTimeSeries:
+    """Read a (time, pfull, lat[, lon]) climatology file (the reference's
+    ozone_1990-style input), bilinearly regrid horizontally onto the model
+    grid at load time, and wrap for on-device time+pressure interpolation.
+
+    Mirrors interpolator_init + interpolator (interpolator.F90) for the
+    INTERP_WEIGHTED_P / annually-periodic case used by rrtm_radiation
+    (rrtm_radiation.F90 o3 input).
+    """
+    from isca_tpu.utils.input_files import read_netcdf, regrid_bilinear
+
+    d = read_netcdf(path)
+    data = np.asarray(d[var], np.float64)
+    lat_names = [k for k in ("lat", "latitude") if k in d]
+    lon_names = [k for k in ("lon", "longitude") if k in d]
+    p_names = [k for k in ("pfull", "plev", "level", "pressure") if k in d]
+    lat_in = np.asarray(d[lat_names[0]]).ravel()
+    p_in = np.asarray(d[p_names[0]], np.float64).ravel()
+    if p_in.max() < 2000.0:          # file in hPa -> Pa
+        p_in = p_in * 100.0
+    if data.ndim == 3:               # (time, pfull, lat): zonal-mean file
+        data = data[..., None]
+        lon_in = np.array([0.0])
+    else:
+        lon_in = np.asarray(d[lon_names[0]]).ravel()
+
+    nt, npl = data.shape[0], data.shape[1]
+    out = np.empty((nt, npl, lat_model.size, lon_model.size))
+    for it in range(nt):
+        for ip in range(npl):
+            if lon_in.size == 1:
+                prof = np.interp(np.asarray(lat_model), np.sort(lat_in),
+                                 data[it, ip, np.argsort(lat_in), 0])
+                out[it, ip] = prof[:, None]
+            else:
+                out[it, ip] = regrid_bilinear(
+                    lat_in, lon_in, data[it, ip],
+                    np.asarray(lat_model), np.asarray(lon_model))
+    # sort pressure increasing and move the level axis last:
+    order = np.argsort(p_in)
+    out = out[:, order]
+    out = np.moveaxis(out, 1, -1)    # (nt, lat, lon, nplev)
+    series = monthly_climatology(out, year_seconds, dtype) if periodic else \
+        TimeSeries(data=jnp.asarray(out, dtype),
+                   times=jnp.asarray(np.asarray(d.get(
+                       "time", np.arange(nt)), np.float64) * 86400.0, dtype),
+                   periodic=False, period_seconds=float(year_seconds))
+    return PressureTimeSeries(series=series,
+                              plevs=jnp.asarray(p_in[order], dtype))

@@ -1,0 +1,134 @@
+"""Tests for the driver-layer tools: land generator, pressure-level
+postprocessing, time-varying pressure climatologies, and the CLI.
+
+Reference parity: src/extra/python/isca/land_generator_fn.py,
+postprocessing/run_plevel.py, src/atmos_shared/interpolator/interpolator.F90,
+exp/run_isca/isca.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from isca_tpu.utils.land_generator import generate_land, write_land
+from isca_tpu.utils.time_interp import (PressureTimeSeries, interp_pressure,
+                                        monthly_climatology)
+
+
+class TestLandGenerator:
+    lats = np.linspace(-87, 87, 64)
+    lons = np.linspace(0, 354.4, 128)
+
+    def test_square(self):
+        land, topo = generate_land(self.lats, self.lons, "square",
+                                   boundaries=(20, 60, 20, 60))
+        assert land.shape == (64, 128)
+        assert 0 < land.mean() < 0.1
+        # inside the box
+        i = np.argmin(np.abs(self.lats - 40)); j = np.argmin(np.abs(self.lons - 40))
+        assert land[i, j] == 1.0
+        assert topo.max() == 0.0
+
+    def test_continents(self):
+        land, _ = generate_land(self.lats, self.lons, "continents")
+        # all seven continents: roughly earthlike land fraction
+        assert 0.15 < land.mean() < 0.45
+        land2, _ = generate_land(self.lats, self.lons, "continents",
+                                 continents=("NA",))
+        assert 0 < land2.sum() < land.sum()
+
+    def test_sauliere_topography(self):
+        land, topo = generate_land(self.lats, self.lons, "continents",
+                                   topo_mode="sauliere2012")
+        assert 2000.0 < topo.max() < 6000.0
+        # waterworld=False: no topography over ocean
+        assert (topo[land == 0] == 0).all()
+        # rockys-only is lower than tibet
+        _, t_r = generate_land(self.lats, self.lons, "continents",
+                               topo_mode="sauliere2012",
+                               mountains=("rockys",), waterworld=True)
+        assert t_r.max() < 3000.0
+
+    def test_write_netcdf(self, tmp_path):
+        p = tmp_path / "land.nc"
+        write_land(p, self.lats, self.lons, land_mode="square")
+        from isca_tpu.utils.input_files import read_netcdf
+        d = read_netcdf(str(p))
+        assert d["land_mask"].shape == (64, 128)
+        assert d["zsurf"].shape == (64, 128)
+
+
+class TestPressureClimatology:
+    def test_interp_pressure_bounds(self):
+        f = jnp.asarray(np.linspace(1.0, 10.0, 10))
+        plevs = jnp.asarray(np.logspace(3, 5, 10))
+        p = jnp.asarray([[5.0e2, 1.0e3, 1.0e5, 2.0e5]])
+        out = np.asarray(interp_pressure(f, plevs, p))
+        np.testing.assert_allclose(out[0, 0], 1.0)    # clamp above
+        np.testing.assert_allclose(out[0, 1], 1.0)
+        np.testing.assert_allclose(out[0, 2], 10.0)
+        np.testing.assert_allclose(out[0, 3], 10.0)   # clamp below
+
+    def test_time_and_pressure(self):
+        # 12 months of a profile that scales with month index
+        nplev = 8
+        plevs = np.logspace(3, 5, nplev)
+        months = np.arange(12) + 1.0
+        data = months[:, None, None] * np.linspace(1, 2, nplev)  # (12,1,np)
+        pts = PressureTimeSeries(
+            series=monthly_climatology(data, dtype=jnp.float64),
+            plevs=jnp.asarray(plevs))
+        p_full = jnp.asarray([[1e3, 1e4, 1e5]])
+        jan_mid = 15 * 86400.0
+        out = np.asarray(pts.at(jan_mid, p_full))
+        np.testing.assert_allclose(out[0, 0], 1.0, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 2], 2.0, rtol=1e-6)
+        jul_mid = (6 * 30 + 15) * 86400.0
+        out7 = np.asarray(pts.at(jul_mid, p_full))
+        np.testing.assert_allclose(out7[0, 0], 7.0, rtol=1e-6)
+
+
+class TestPlevelTool:
+    def test_roundtrip(self, tmp_path):
+        from scipy.io import netcdf_file
+
+        from isca_tpu.io.plevel import run_plevel
+
+        # synthetic diag file: T(p) = 200 + 60*(p/ps)
+        nt, L, nlat, nlon = 2, 10, 4, 8
+        sig = np.linspace(0.05, 0.95, L)
+        infile = tmp_path / "atmos.nc"
+        with netcdf_file(str(infile), "w") as nc:
+            nc.createDimension("time", None)
+            nc.createDimension("pfull", L)
+            nc.createDimension("lat", nlat)
+            nc.createDimension("lon", nlon)
+            nc.createVariable("time", "d", ("time",))[:] = [1.0, 2.0]
+            nc.createVariable("pfull", "d", ("pfull",))[:] = sig * 1000.0
+            nc.createVariable("lat", "d", ("lat",))[:] = np.linspace(-60, 60, nlat)
+            nc.createVariable("lon", "d", ("lon",))[:] = np.linspace(0, 315, nlon)
+            t = nc.createVariable("temp", "f", ("time", "pfull", "lat", "lon"))
+            t[:] = (200.0 + 60.0 * sig)[None, :, None, None] * np.ones(
+                (nt, L, nlat, nlon))
+            ps = nc.createVariable("ps", "f", ("time", "lat", "lon"))
+            ps[:] = np.full((nt, nlat, nlon), 1000.0)   # hPa
+
+        outfile = tmp_path / "atmos_plev.nc"
+        run_plevel(infile, outfile, plevs=np.array([2.0e4, 5.0e4, 8.0e4]))
+        from isca_tpu.utils.input_files import read_netcdf
+        d = read_netcdf(str(outfile))
+        temp = d["temp"]
+        assert temp.shape == (2, 3, nlat, nlon)
+        # linear in sigma -> value at p=0.5 ps is ~230 K
+        got = temp[0, 1, 0, 0]
+        np.testing.assert_allclose(got, 200 + 60 * 0.5, rtol=0.02)
+
+
+class TestCLI:
+    def test_held_suarez_one_day(self, tmp_path):
+        from isca_tpu.__main__ import main
+
+        rc = main(["cli_t", "--model", "held_suarez", "--resolution", "T21",
+                   "--levels", "8", "--days", "1",
+                   "--datadir", str(tmp_path)])
+        assert rc == 0
+        assert (tmp_path / "cli_t" / "run0001" / "atmos_monthly.nc").exists()
