@@ -1,0 +1,24 @@
+"""Time-varying CO2 with RRTM radiation (exp/test_cases/
+variable_co2_concentration, rrtm branch)."""
+import dataclasses
+
+import numpy as np
+
+from common import parse_args, run
+
+from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+from isca_tpu.utils.time_interp import TimeSeries
+
+import jax.numpy as jnp
+
+args = parse_args()
+cfg = GreyMoistConfig()
+cfg = dataclasses.replace(cfg, physics=dataclasses.replace(
+    cfg.physics, radiation_scheme="rrtm"))
+model = GreyMoistModel(cfg)
+t = np.linspace(0, 10 * 360 * 86400.0, 24)
+co2 = np.linspace(300.0, 600.0, 24)
+model.physics.co2_series = TimeSeries(
+    data=jnp.asarray(co2), times=jnp.asarray(t),
+    periodic=False, period_seconds=float(t[-1]))
+run("variable_co2_rrtm", model, args)

@@ -101,6 +101,7 @@ class PrimitiveConfig:
     do_water_correction: bool = False      # True only for moist models
     water_correction_limit: float = 0.0    # Pa; correct only where p >= limit
     valid_range_t: tuple[float, float] = (100.0, 500.0)
+    make_symmetric: bool = False           # zonally-symmetric (axisymmetric)
     initial_temperature: float = 264.0
     uv_vert_advect_scheme: str = va.SECOND_CENTERED
     t_vert_advect_scheme: str = va.SECOND_CENTERED
@@ -140,7 +141,9 @@ class PrimitiveCore:
     def __init__(self, config: PrimitiveConfig, tracer_attrs: tuple = ()):
         self.config = c = config
         self.C = c.constants
-        self.T = tr.make_transforms(c.resolution, radius=self.C.radius, dtype=c.dtype)
+        self.T = tr.make_transforms(c.resolution, radius=self.C.radius,
+                                    dtype=c.dtype,
+                                    make_symmetric=c.make_symmetric)
         self.tracer_attrs = tuple(tracer_attrs)
         self.fv_geom = fv.make_fv_geometry(self.T) if any(
             a.representation == "grid" for a in self.tracer_attrs

@@ -80,9 +80,15 @@ class Experiment:
             p_full_hpa = None
             p_half_hpa = None
             core = getattr(model, "core", None)
-            if core is not None and hasattr(core, "pk_np"):
+            if core is None and hasattr(model, "pk"):
+                core = model          # column model carries pk/bk itself
+            if core is not None and (hasattr(core, "pk_np")
+                                     or hasattr(core, "pk")):
                 ps0 = 1.0e5
-                ph = core.pk_np + core.bk_np * ps0
+                if hasattr(core, "pk_np"):
+                    ph = core.pk_np + core.bk_np * ps0
+                else:
+                    ph = np.asarray(core.pk) + np.asarray(core.bk) * ps0
                 p_half_hpa = ph / 100.0
                 p_full_hpa = 0.5 * (ph[1:] + ph[:-1]) / 100.0
             dm = DiagManager(

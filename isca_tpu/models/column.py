@@ -71,6 +71,10 @@ class ColumnModel:
         lats = jnp.asarray(np.deg2rad(np.full(c.nlat, c.lat_deg)), c.dtype)
         lons = jnp.asarray(np.zeros(c.nlon), c.dtype)
         self.physics = MoistPhysics(c.physics, lats, lons)
+        # minimal grid info for the Experiment/diag layer (column_grid role)
+        from types import SimpleNamespace
+        self.T = SimpleNamespace(lats=lats, lons=lons,
+                                 grid_shape=(c.nlat, c.nlon))
         ps = jnp.full((c.nlat, c.nlon), c.ps, c.dtype)
         ph, lph, pf, lpf = pgm.pressure_variables(jnp, self.pk, self.bk, ps, self.top_is_zero)
         self.p_half, self.p_full = ph, pf

@@ -142,11 +142,14 @@ def make_transforms(
     radius: float = 6371.0e3,
     dtype=jnp.float32,
     fourier_method: str = "dft",
+    make_symmetric: bool = False,
 ) -> SphericalTransforms:
     """Build transform tables for a triangular truncation.
 
     Default grid sizes follow the reference's quadratic-dealiasing table
-    (nlon >= 3T+1, nlat = nlon/2).
+    (nlon >= 3T+1, nlat = nlon/2).  make_symmetric zeroes all m > 0 modes in
+    the prognostic triangle — the reference's zonally-symmetric model option
+    (spectral_dynamics_nml make_symmetric, spherical.F90:185).
     """
     if isinstance(truncation, str):
         truncation, d_nlon, d_nlat = RESOLUTIONS[truncation]
@@ -171,6 +174,8 @@ def make_transforms(
     mgrid = np.arange(M + 1)[:, None]
     ngrid = np.arange(N + 1)[None, :]
     triangle = ((ngrid >= mgrid) & (ngrid <= truncation)).astype(np.float64)
+    if make_symmetric:
+        triangle[1:, :] = 0.0   # axisymmetric: zonal-mean modes only
 
     # operator coefficient tables (all float64 on host, cast once)
     mv = np.arange(M + 1, dtype=np.float64)[:, None]

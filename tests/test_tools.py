@@ -132,3 +132,33 @@ class TestCLI:
                    "--datadir", str(tmp_path)])
         assert rc == 0
         assert (tmp_path / "cli_t" / "run0001" / "atmos_monthly.nc").exists()
+
+
+class TestRealInputFiles:
+    """Against the reference's shipped input data (read-only), when present."""
+
+    OZONE = "/root/reference/input/rrtm_input_files/ozone_1990.nc"
+
+    def test_ozone_1990_climatology(self):
+        import os
+        import pytest
+        if not os.path.exists(self.OZONE):
+            pytest.skip("reference input files not mounted")
+        from isca_tpu.utils.time_interp import load_pressure_climatology
+        lats = np.linspace(-87.9, 87.9, 64)
+        lons = np.linspace(0, 357.2, 128)
+        pts = load_pressure_climatology(self.OZONE, "ozone_1990", lats, lons)
+        p_full = jnp.asarray(
+            np.broadcast_to(np.logspace(3, 5, 25), (64, 128, 25)))
+        o3 = np.asarray(pts.at(15 * 86400.0, p_full))
+        assert o3.shape == (64, 128, 25)
+        # stratospheric ozone peak ~1e-5 mmr near 10 hPa
+        kmax = np.unravel_index(o3.argmax(), o3.shape)[-1]
+        assert 1e-6 < o3.max() < 2e-5
+        assert np.logspace(3, 5, 25)[kmax] < 5e3
+        # the 1990 file stores an annual-mean repeated monthly: time interp
+        # must reproduce it exactly at any date (incl. wraparound)
+        o3_jul = np.asarray(pts.at((6 * 30 + 15) * 86400.0, p_full))
+        np.testing.assert_allclose(o3, o3_jul, rtol=1e-6)
+        o3_wrap = np.asarray(pts.at(359.9 * 86400.0, p_full))
+        np.testing.assert_allclose(o3, o3_wrap, rtol=1e-5)
