@@ -54,7 +54,8 @@ class GreyMoistConfig:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["dyn", "t_surf", "time_seconds", "bucket_depth", "tke"],
+    data_fields=["dyn", "t_surf", "time_seconds", "bucket_depth", "tke",
+                 "rad_cache"],
     meta_fields=[],
 )
 @dataclasses.dataclass
@@ -64,6 +65,7 @@ class GreyMoistState:
     time_seconds: jax.Array   # model time (s) for seasonal insolation
     bucket_depth: TwoLevel    # (lat, lon) water depth (m); zeros if bucket off
     tke: jax.Array            # (lat, lon, L+1) MY2.5 TKE (zeros when unused)
+    rad_cache: object         # RadCache for dt_rad substepping (zeros unused)
 
 
 class GreyMoistModel:
@@ -108,10 +110,12 @@ class GreyMoistModel:
             depth0 = jnp.full(self.core.T.grid_shape, pc.init_bucket_depth, c.core.dtype)
         L = c.core.num_levels
         tke0 = jnp.zeros(self.core.T.grid_shape + (L + 1,), c.core.dtype)
+        from isca_tpu.physics.moist_driver import zero_rad_cache
+        rad0 = zero_rad_cache(self.core.T.grid_shape, L, c.core.dtype)
         return GreyMoistState(dyn=dyn, t_surf=t_surf,
                               time_seconds=jnp.zeros((), jnp.float32),
                               bucket_depth=TwoLevel(depth0, depth0),
-                              tke=tke0)
+                              tke=tke0, rad_cache=rad0)
 
     # ------------------------------------------------------------------
     def step(self, state: GreyMoistState, first: bool = False) -> GreyMoistState:
@@ -166,6 +170,7 @@ class GreyMoistModel:
             time_seconds=state.time_seconds,
             wg_full=ll(dyn.wg_full),
             tke=state.tke,
+            rad_cache=state.rad_cache,
         )
 
         # bucket-depth leapfrog (idealized_moist_phys.F90:1343-1372)
@@ -195,6 +200,7 @@ class GreyMoistModel:
             time_seconds=state.time_seconds + c.core.dt,
             bucket_depth=bucket_new,
             tke=phys.diagnostics.get("tke", state.tke),
+            rad_cache=phys.rad_cache,
         )
         return new_state, phys.diagnostics
 

@@ -72,6 +72,10 @@ class MoistPhysicsConfig:
     roughness_moist: float = 0.05
     gust_const: float = 1.0
     do_conserve_energy_diff: bool = True
+    # radiation timestep [s]; <= dt means every step (rrtm_radiation_nml
+    # dt_rad). When larger, heating rates and surface radiative fluxes are
+    # stored and reused between radiation calls.
+    dt_rad: float = 0.0
     convection: QEMoistConvectionConfig = QEMoistConvectionConfig()
     condensation: LscaleCondConfig = LscaleCondConfig(do_simple=False, do_evap=False)
     radiation: TwoStreamConfig = TwoStreamConfig()
@@ -99,6 +103,29 @@ class MoistPhysicsConfig:
     constants: Constants = EARTH
 
 
+class RadCache(NamedTuple):
+    """Stored radiation results for dt_rad substepping (the reference
+    rrtm adapter's stored intermediate fluxes, rrtm_radiation.F90:150-205:
+    radiation is recomputed every `dt_rad` seconds and the heating rates and
+    surface fluxes reused in between)."""
+    tdt_rad: jax.Array          # (..., L)
+    tdt_solar: jax.Array        # (..., L)
+    olr: jax.Array              # (...)
+    net_surf_sw_down: jax.Array
+    surf_lw_down: jax.Array
+    coszen: jax.Array
+    net_lw_surf: jax.Array
+    age: jax.Array              # int32 steps since last radiation call
+
+
+def zero_rad_cache(shape2d, L, dtype):
+    z2 = jnp.zeros(shape2d, dtype)
+    z3 = jnp.zeros(shape2d + (L,), dtype)
+    return RadCache(tdt_rad=z3, tdt_solar=z3, olr=z2, net_surf_sw_down=z2,
+                    surf_lw_down=z2, coszen=z2, net_lw_surf=z2,
+                    age=jnp.zeros((), jnp.int32))
+
+
 class MoistPhysicsResult(NamedTuple):
     dt_u: jax.Array
     dt_v: jax.Array
@@ -106,6 +133,7 @@ class MoistPhysicsResult(NamedTuple):
     dt_q: jax.Array
     t_surf: jax.Array
     diagnostics: dict
+    rad_cache: "RadCache | None" = None
 
 
 class MoistPhysics:
@@ -161,6 +189,7 @@ class MoistPhysics:
         time_seconds=0.0,       # model time for time-varying inputs
         wg_full=None,           # (..., L) pressure velocity for SimCloud
         tke=None,               # (..., L+1) MY2.5 TKE state when bl_scheme
+        rad_cache=None,         # RadCache for dt_rad substepping
     ) -> MoistPhysicsResult:
         cfg, C = self.config, self.C
         L = t_prev.shape[-1]
@@ -260,11 +289,32 @@ class MoistPhysics:
             # SimCloud -> RRTMG-SW cloud optics (beyond-reference coupling)
             rad_kw["cloud_fields"] = (clouds.cf, clouds.reff_rad,
                                       clouds.qcl_rad, clouds.frac_liq)
-        rad_down = self.radiation.down(
-            self.lat2d, self.lon2d, p_half_curr, t_prev, q_prev, albedo,
-            gmt=gmt, time_since_ae=time_since_ae, dt_rad_avg=dt_rad_radians,
-            carbon_conc=co2, **rad_kw,
-        )
+
+        def compute_rad():
+            rad_down = self.radiation.down(
+                self.lat2d, self.lon2d, p_half_curr, t_prev, q_prev, albedo,
+                gmt=gmt, time_since_ae=time_since_ae,
+                dt_rad_avg=dt_rad_radians, carbon_conc=co2, **rad_kw,
+            )
+            rad = self.radiation.up(rad_down, p_half_curr, t_surf, albedo)
+            return RadCache(
+                tdt_rad=rad.tdt_rad, tdt_solar=rad.tdt_solar, olr=rad.olr,
+                net_surf_sw_down=rad_down.net_surf_sw_down,
+                surf_lw_down=rad_down.surf_lw_down, coszen=rad_down.coszen,
+                net_lw_surf=rad.net_lw_surf, age=jnp.ones((), jnp.int32))
+
+        if cfg.dt_rad > dt_real and rad_cache is not None:
+            # dt_rad substepping: recompute radiation every n_rad steps,
+            # reuse the stored heating/fluxes otherwise; the exact int32
+            # step counter rides in the cache (the reference adapter's
+            # dt_last bookkeeping, rrtm_radiation.F90)
+            n_rad = max(1, int(round(cfg.dt_rad / dt_real)))
+            do_rad = rad_cache.age % n_rad == 0
+            rad = jax.lax.cond(
+                do_rad, compute_rad,
+                lambda: rad_cache._replace(age=rad_cache.age + 1))
+        else:
+            rad = compute_rad()
 
         # ---- surface fluxes (lowest level, previous) ----
         z_surf = z_half_curr[..., -1]
@@ -290,12 +340,11 @@ class MoistPhysics:
         else:
             sf = None
 
-        # ---- radiation: upward pass (heating added to dt_t) ----
-        rad = self.radiation.up(rad_down, p_half_curr, t_surf, albedo)
+        # ---- radiation heating added to dt_t ----
         dt_t = dt_t + rad.tdt_rad
-        diag.update(olr=rad.olr, swdn_sfc=rad_down.net_surf_sw_down,
-                    lwdn_sfc=rad_down.surf_lw_down, tdt_rad=rad.tdt_rad,
-                    coszen=rad_down.coszen)
+        diag.update(olr=rad.olr, swdn_sfc=rad.net_surf_sw_down,
+                    lwdn_sfc=rad.surf_lw_down, tdt_rad=rad.tdt_rad,
+                    coszen=rad.coszen)
 
         # ---- giant-planet lower boundary: interior heat flux + bottom drag ----
         if cfg.gp_surface:
@@ -321,7 +370,8 @@ class MoistPhysics:
             diag.update(dmp.diagnostics)
 
         if not cfg.turb:
-            return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf, diag)
+            return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf, diag,
+                                      rad_cache=rad)
 
         # ---- boundary-layer diffusivities (current == previous fields here;
         #      the driver passes prev since grid lag makes them the same source)
@@ -444,7 +494,7 @@ class MoistPhysics:
             ml = mixed_layer_step(
                 cfg.mixed_layer, dt_real, t_surf, down.tri,
                 sf.flux_t, sf.flux_q, sf.flux_r,
-                rad_down.net_surf_sw_down, rad_down.surf_lw_down,
+                rad.net_surf_sw_down, rad.surf_lw_down,
                 sf.dhdt_surf, sf.dedt_surf, sf.dedq_surf, sf.drdt_surf,
                 sf.dhdt_atm, sf.dedq_atm,
                 ocean_qflux=self.ocean_qflux,
@@ -465,4 +515,5 @@ class MoistPhysics:
         if cfg.bucket and sf is not None:
             depth_change_lh = sf.flux_q * delta_t / C.dens_h2o
             diag["dt_bucket"] = depth_change_cond + depth_change_conv - depth_change_lh
-        return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf_out, diag)
+        return MoistPhysicsResult(dt_u, dt_v, dt_t, dt_q, t_surf_out, diag,
+                                  rad_cache=rad)

@@ -90,3 +90,46 @@ class TestLandAndBucket:
         assert bd.min() >= 0.0
         # land buckets clamped at max depth
         assert bd[lm > 0.5].max() <= 0.15 + 20.0  # may not have rained down yet
+
+
+class TestDtRadSubstepping:
+    """rrtm_radiation_nml dt_rad parity: radiation recomputed every dt_rad
+    seconds, stored heating/fluxes reused in between."""
+
+    def _build(self, dt_rad):
+        import dataclasses
+        from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+        cfg = GreyMoistConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            core=dataclasses.replace(cfg.core, resolution="T21",
+                                     num_levels=12),
+            physics=dataclasses.replace(cfg.physics, dt_rad=dt_rad))
+        return GreyMoistModel(cfg)
+
+    def test_dt_rad_equal_dt_is_identity(self):
+        import numpy as np
+        m0, m1 = self._build(0.0), self._build(720.0)
+        s0, s1 = m0.initial_state(), m1.initial_state()
+        s0 = m0.step(s0, first=True); s1 = m1.step(s1, first=True)
+        for _ in range(3):
+            s0 = m0.step(s0); s1 = m1.step(s1)
+        np.testing.assert_allclose(np.asarray(s0.dyn.tg.curr),
+                                   np.asarray(s1.dyn.tg.curr), rtol=1e-6)
+
+    def test_substepped_radiation_held_between_calls(self):
+        import numpy as np
+        m = self._build(4 * 720.0)
+        s = m.initial_state()
+        s = m.step(s, first=True)
+        olr0 = np.asarray(s.rad_cache.olr).copy()
+        s = m.step(s)   # within the hold window: cache unchanged
+        np.testing.assert_allclose(np.asarray(s.rad_cache.olr), olr0)
+        ages = [int(s.rad_cache.age)]
+        for _ in range(4):
+            s = m.step(s)
+            ages.append(int(s.rad_cache.age))
+        # the age counter cycles with period n_rad=4
+        assert 1 in ages and max(ages) == 4
+        tg = np.asarray(s.dyn.tg.curr)
+        assert np.isfinite(tg).all()
