@@ -225,27 +225,76 @@ def setcoef_lw(pavel, tavel, tz, tbound, wkl, wbrodl, coldry, wx_vmr,
 
 
 # ---------------------------------------------------------------------------
-# taumol helpers
+# taumol helpers — TPU-native table interpolation
+#
+# The reference's taumol is ~150 per-band table-row gathers.  Row gathers are
+# slow on TPU (serialized dynamic-slices); instead every interpolation here is
+# a weighted one-hot matrix product on the MXU:
+#     out = W @ tab,   W[..., r] = sum_k w_k * [off_k == r]
+# The expensive W matrices depend only on setcoef's (jp, jt, jt1, facXX) and
+# the continuum/minor indices, which are IDENTICAL across bands, so they are
+# built once per taumol call (_Weights) and reused by all 16 bands.
 # ---------------------------------------------------------------------------
 
-def _continuum(c, selfref, forref, with_self=True):
-    """Self + foreign water-vapor continuum (already includes colh2o via the
-    rescaled selffac/forfac). Returns (..., L, ng)."""
-    fo = forref[c.indfor] + c.forfrac[..., None] * (forref[c.indfor + 1]
-                                                    - forref[c.indfor])
-    tau = c.forfac[..., None] * fo
+def _wsum(pairs, nrow, dtype):
+    """One-hot weighted scatter: [(idx (...,), w (...,)), ...] -> (..., nrow).
+
+    Out-of-range indices contribute zero rows (the reference clips instead;
+    both regions are masked by `tropo` before use, so the values agree where
+    they are read)."""
+    iota = jnp.arange(nrow, dtype=jnp.int32)
+    W = None
+    zero = jnp.zeros((), dtype)
+    for idx, w in pairs:
+        t = jnp.where(idx[..., None] == iota, w[..., None], zero)
+        W = t if W is None else W + t
+    return W
+
+
+class _Weights(NamedTuple):
+    q_a_lo: jax.Array    # (..., L, 65)  fac00/fac10 at rows jp*5+jt (+1)
+    q_b_lo: jax.Array    # (..., L, 65)  fac01/fac11 at rows (jp+1)*5+jt1 (+1)
+    q_lo: jax.Array      # sum of the two: the 1-key lower-atmos interpolant
+    q_a_up: jax.Array    # (..., L, 235) upper-atmosphere analogues
+    q_b_up: jax.Array
+    q_up: jax.Array
+    minor: jax.Array     # (..., L, 19)  indminor/minorfrac interpolant
+    forw: jax.Array      # (..., L, 4)   foreign continuum incl. forfac
+    selfw: jax.Array     # (..., L, 10)  self continuum incl. selffac
+
+
+def _build_weights(c: LwSetcoef, dt) -> _Weights:
+    q0 = c.jp * 5 + c.jt
+    q1 = (c.jp + 1) * 5 + c.jt1
+    q_a_lo = _wsum([(q0, c.fac00), (q0 + 1, c.fac10)], 65, dt)
+    q_b_lo = _wsum([(q1, c.fac01), (q1 + 1, c.fac11)], 65, dt)
+    u0 = (c.jp - 12) * 5 + c.jt
+    u1 = (c.jp - 11) * 5 + c.jt1
+    q_a_up = _wsum([(u0, c.fac00), (u0 + 1, c.fac10)], 235, dt)
+    q_b_up = _wsum([(u1, c.fac01), (u1 + 1, c.fac11)], 235, dt)
+    minor = _wsum([(c.indminor, 1.0 - c.minorfrac),
+                   (c.indminor + 1, c.minorfrac)], 19, dt)
+    forw = c.forfac[..., None] * _wsum(
+        [(c.indfor, 1.0 - c.forfrac), (c.indfor + 1, c.forfrac)], 4, dt)
+    selfw = c.selffac[..., None] * _wsum(
+        [(c.indself, 1.0 - c.selffrac), (c.indself + 1, c.selffrac)], 10, dt)
+    return _Weights(q_a_lo=q_a_lo, q_b_lo=q_b_lo, q_lo=q_a_lo + q_b_lo,
+                    q_a_up=q_a_up, q_b_up=q_b_up, q_up=q_a_up + q_b_up,
+                    minor=minor, forw=forw, selfw=selfw)
+
+
+def _continuum(W, selfref, forref, with_self=True):
+    """Self + foreign water-vapor continuum (colh2o already inside the
+    rescaled selffac/forfac baked into W). Returns (..., L, ng)."""
+    tau = W.forw @ forref
     if with_self:
-        se = selfref[c.indself] + c.selffrac[..., None] * (
-            selfref[c.indself + 1] - selfref[c.indself])
-        tau = tau + c.selffac[..., None] * se
+        tau = tau + W.selfw @ selfref
     return tau
 
 
-def _minor2d(tab, c):
+def _minor2d(tab, W):
     """tab (19, ng) -> interp over indminor: (..., L, ng)."""
-    lo = tab[c.indminor]
-    hi = tab[c.indminor + 1]
-    return lo + c.minorfrac[..., None] * (hi - lo)
+    return W.minor @ tab
 
 
 def _spec(col1, col2, ratv, nmult):
@@ -258,103 +307,75 @@ def _spec(col1, col2, ratv, nmult):
     return speccomb, js, fs, specparm
 
 
-def _minor3d(tab, jm, fm, c):
+def _minor3d(tab, jm, fm, W):
     """tab (nkey, 19, ng); jm 0-based key index, fm fraction."""
     nkey = tab.shape[0]
     jm = jnp.minimum(jm, nkey - 2)
-    m1 = (tab[jm, c.indminor] + fm[..., None]
-          * (tab[jm + 1, c.indminor] - tab[jm, c.indminor]))
-    m2 = (tab[jm, c.indminor + 1] + fm[..., None]
-          * (tab[jm + 1, c.indminor + 1] - tab[jm, c.indminor + 1]))
-    return m1 + c.minorfrac[..., None] * (m2 - m1)
+    dt = fm.dtype
+    wm = _wsum([(jm, 1.0 - fm), (jm + 1, fm)], nkey, dt)
+    return jnp.einsum("...m,...k,mkg->...g", wm, W.minor, tab)
 
 
-def _gather_rows(tab, idx):
-    """tab (nrow, ng); idx (..., K) -> (..., K, ng) with clipped indices."""
-    return tab[jnp.clip(idx, 0, tab.shape[0] - 1)]
-
-
-def _major_1key(tab, c, nrow_base):
-    """4-point (p, T) interpolation for single-key-species bands.
+def _major_1key(tab, W, nrow_base):
+    """4-point (p, T) interpolation for single-key-species bands as one
+    MXU matmul with the shared lower/upper one-hot weights.
 
     tab = absa (65, ng) with nrow_base = lower, or absb (235, ng) upper.
     Returns (..., L, ng)."""
-    if nrow_base == "lower":
-        ind0 = (c.jp * 5 + c.jt)
-        ind1 = ((c.jp + 1) * 5 + c.jt1)
-    else:
-        ind0 = ((c.jp - 12) * 5 + c.jt)
-        ind1 = ((c.jp - 11) * 5 + c.jt1)
-    idx = jnp.stack([ind0, ind0 + 1, ind1, ind1 + 1], axis=-1)
-    g = _gather_rows(tab, idx)                      # (..., L, 4, ng)
-    w = jnp.stack([c.fac00, c.fac10, c.fac01, c.fac11], axis=-1)
-    return jnp.einsum("...k,...kg->...g", w, g)
+    return (W.q_lo if nrow_base == "lower" else W.q_up) @ tab
 
 
-def _major_2key_lower(absa, c, js, fs, specparm, js1, fs1, specparm1,
-                      speccomb, speccomb1, nspa=9):
-    """Two-key-species lower-atmosphere interpolation with the reference's
-    specparm<0.125 / >0.875 cubic end-point branches (taumol.f90 taugb3)."""
-    base0 = (c.jp * 5 + c.jt) * nspa + js
-    base1 = ((c.jp + 1) * 5 + c.jt1) * nspa + js1
-
-    def one(base, fs_, specparm_, f0, f1, speccomb_):
-        m_lo = specparm_ < 0.125
-        m_hi = specparm_ > 0.875
-        p = jnp.where(m_lo, fs_ - 1.0, -fs_)
+def _js_weights(js, fs, specparm, nspa, dt, special_branches=True):
+    """Species-dimension interpolation weights (..., nspa) including the
+    reference's specparm<0.125 / >0.875 cubic end-point branches."""
+    if special_branches:
+        m_lo = specparm < 0.125
+        m_hi = specparm > 0.875
+        p = jnp.where(m_lo, fs - 1.0, -fs)
         p4 = p ** 4
-        fk0 = p4
-        fk1 = 1.0 - p - 2.0 * p4
-        fk2 = p + p4
+        fk0, fk1, fk2 = p4, 1.0 - p - 2.0 * p4, p + p4
         special = m_lo | m_hi
-        # offsets for [a0,a1,a2,b0,b1,b2] terms
-        off_lo = jnp.stack([base, base + 1, base + 2,
-                            base + nspa, base + nspa + 1, base + nspa + 2],
-                           axis=-1)
-        off_hi = jnp.stack([base - 1, base, base + 1,
-                            base + nspa - 1, base + nspa, base + nspa + 1],
-                           axis=-1)
-        off_mid = jnp.stack([base, base + 1, base,
-                             base + nspa, base + nspa + 1, base + nspa],
-                            axis=-1)
-        off = jnp.where(m_lo[..., None], off_lo,
-                        jnp.where(m_hi[..., None], off_hi, off_mid))
-        wk = jnp.stack([fk0, fk1, fk2], axis=-1)
-        w_hi = jnp.stack([fk2, fk1, fk0], axis=-1)
-        w_sp = jnp.where(m_lo[..., None], wk, w_hi)
-        w_mid = jnp.stack([1.0 - fs_, fs_, jnp.zeros_like(fs_)], axis=-1)
-        w3 = jnp.where(special[..., None], w_sp, w_mid)
-        w = jnp.concatenate([w3 * f0[..., None], w3 * f1[..., None]], axis=-1)
-        g = _gather_rows(absa, off)                 # (..., L, 6, ng)
-        return speccomb_[..., None] * jnp.einsum("...k,...kg->...g", w, g)
-
-    return (one(base0, fs, specparm, c.fac00, c.fac10, speccomb)
-            + one(base1, fs1, specparm1, c.fac01, c.fac11, speccomb1))
+        j0 = jnp.where(m_hi, js - 1, js)
+        w0 = jnp.where(special, jnp.where(m_lo, fk0, fk2), 1.0 - fs)
+        w1 = jnp.where(special, fk1, fs)
+        w2 = jnp.where(special, jnp.where(m_lo, fk2, fk0),
+                       jnp.zeros_like(fs))
+        return _wsum([(j0, w0), (j0 + 1, w1), (j0 + 2, w2)], nspa, dt)
+    return _wsum([(js, 1.0 - fs), (js + 1, fs)], nspa, dt)
 
 
-def _major_2key_upper(absb, c, js, fs, js1, fs1, speccomb, speccomb1,
+def _major_2key_lower(absa, c, W, js, fs, specparm, js1, fs1, specparm1,
+                      speccomb, speccomb1, nspa=9):
+    """Two-key-species lower-atmosphere interpolation (taumol.f90 taugb3):
+    the (p,T) one-hot is shared (W.q_a_lo/q_b_lo); the species dimension is a
+    per-band 3-point weight; the row space factorizes (65, nspa, ng)."""
+    dt = fs.dtype
+    tab3 = jnp.asarray(absa).reshape(65, nspa, -1)
+    wj0 = _js_weights(js, fs, specparm, nspa, dt)
+    wj1 = _js_weights(js1, fs1, specparm1, nspa, dt)
+    t0 = jnp.einsum("...q,...j,qjg->...g", W.q_a_lo, wj0, tab3)
+    t1 = jnp.einsum("...q,...j,qjg->...g", W.q_b_lo, wj1, tab3)
+    return speccomb[..., None] * t0 + speccomb1[..., None] * t1
+
+
+def _major_2key_upper(absb, c, W, js, fs, js1, fs1, speccomb, speccomb1,
                       nspb=5):
     """Two-key upper-atmosphere 4-point interpolation (taugb3 upper)."""
-    base0 = ((c.jp - 12) * 5 + c.jt) * nspb + js
-    base1 = ((c.jp - 11) * 5 + c.jt1) * nspb + js1
-
-    def one(base, fs_, f0, f1, speccomb_):
-        idx = jnp.stack([base, base + 1, base + nspb, base + nspb + 1],
-                        axis=-1)
-        w = jnp.stack([(1.0 - fs_) * f0, fs_ * f0,
-                       (1.0 - fs_) * f1, fs_ * f1], axis=-1)
-        g = _gather_rows(absb, idx)
-        return speccomb_[..., None] * jnp.einsum("...k,...kg->...g", w, g)
-
-    return (one(base0, fs, c.fac00, c.fac10, speccomb)
-            + one(base1, fs1, c.fac01, c.fac11, speccomb1))
+    dt = fs.dtype
+    tab3 = jnp.asarray(absb).reshape(235, nspb, -1)
+    wj0 = _js_weights(js, fs, None, nspb, dt, special_branches=False)
+    wj1 = _js_weights(js1, fs1, None, nspb, dt, special_branches=False)
+    t0 = jnp.einsum("...q,...j,qjg->...g", W.q_a_up, wj0, tab3)
+    t1 = jnp.einsum("...q,...j,qjg->...g", W.q_b_up, wj1, tab3)
+    return speccomb[..., None] * t0 + speccomb1[..., None] * t1
 
 
 def _fracs_interp(fracref, jpl, fpl):
     """fracref (ng, nk); jpl 0-based; returns (..., L, ng)."""
     t = fracref.T                                   # (nk, ng)
     jpl = jnp.minimum(jpl, t.shape[0] - 2)
-    return t[jpl] + fpl[..., None] * (t[jpl + 1] - t[jpl])
+    w = _wsum([(jpl, 1.0 - fpl), (jpl + 1, fpl)], t.shape[0], fpl.dtype)
+    return w @ t
 
 
 def _planck_js(col1, col2, refrat, nmult):
@@ -385,6 +406,7 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     chi_np = np.asarray(static["chi_mls"])
     col = c.col
     tmask = c.tropo[..., None]
+    Wt = _build_weights(c, dt)
     taugs, fracss = [], []
 
     def band(b, name, default=None):
@@ -407,14 +429,14 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
                         1.0 - 0.15 * (250.0 - pavel) / 154.4, 1.0)
     corr_up = 1.0 - 0.15 * (pavel / 95.6)
     scalen2 = col["brd"] * c.scaleminorn2
-    taun2_lo = scalen2[..., None] * _minor2d(band(b, "ka_mn2"), c)
-    taun2_up = scalen2[..., None] * _minor2d(band(b, "kb_mn2"), c)
+    taun2_lo = scalen2[..., None] * _minor2d(band(b, "ka_mn2"), Wt)
+    taun2_up = scalen2[..., None] * _minor2d(band(b, "kb_mn2"), Wt)
     tl = corr_lo[..., None] * (
-        col["h2o"][..., None] * _major_1key(absa, c, "lower")
-        + _continuum(c, band(b, "selfref"), band(b, "forref")) + taun2_lo)
+        col["h2o"][..., None] * _major_1key(absa, Wt, "lower")
+        + _continuum(Wt, band(b, "selfref"), band(b, "forref")) + taun2_lo)
     tu = corr_up[..., None] * (
-        col["h2o"][..., None] * _major_1key(absb, c, "upper")
-        + _continuum(c, band(b, "selfref"), band(b, "forref"), False)
+        col["h2o"][..., None] * _major_1key(absb, Wt, "upper")
+        + _continuum(Wt, band(b, "selfref"), band(b, "forref"), False)
         + taun2_up)
     fr_a = jnp.broadcast_to(band(b, "fracrefa"), L_shape + (NGC[0],))
     fr_b = jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[0],))
@@ -424,10 +446,10 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     b = 2
     corr_lo = 1.0 - 0.05 * (pavel - 100.0) / 900.0
     tl = corr_lo[..., None] * (
-        col["h2o"][..., None] * _major_1key(band(b, "absa"), c, "lower")
-        + _continuum(c, band(b, "selfref"), band(b, "forref")))
-    tu = (col["h2o"][..., None] * _major_1key(band(b, "absb"), c, "upper")
-          + _continuum(c, band(b, "selfref"), band(b, "forref"), False))
+        col["h2o"][..., None] * _major_1key(band(b, "absa"), Wt, "lower")
+        + _continuum(Wt, band(b, "selfref"), band(b, "forref")))
+    tu = (col["h2o"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref"), False))
     lower_upper(tl, tu,
                 jnp.broadcast_to(band(b, "fracrefa"), L_shape + (NGC[1],)),
                 jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[1],)))
@@ -438,7 +460,7 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
         spec indices for reuse)."""
         sc, js, fs, sp = _spec(col1, col2, c.rat[ratname], 8.0)
         sc1, js1, fs1, sp1 = _spec(col1, col2, c.rat[ratname + "_1"], 8.0)
-        tmaj = _major_2key_lower(band(b, "absa"), c, js, fs, sp,
+        tmaj = _major_2key_lower(band(b, "absa"), c, Wt, js, fs, sp,
                                  js1, fs1, sp1, sc, sc1)
         (pi, pj), plev = planck_ij
         refrat_p = float(chi_np[pi - 1, plev - 1] / chi_np[pj - 1, plev - 1])
@@ -449,7 +471,7 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     def minor3d_term(b, name, col1, col2, mi, mj, mlev, nmult=8.0):
         refrat_m = float(chi_np[mi - 1, mlev - 1] / chi_np[mj - 1, mlev - 1])
         _, jm, fm, _ = _spec(col1, col2, refrat_m, nmult)
-        return _minor3d(band(b, name), jm, fm, c)
+        return _minor3d(band(b, name), jm, fm, Wt)
 
     # ---- band 3: h2o+co2, minor n2o both regions ----
     b = 3
@@ -457,17 +479,17 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
                                ((1, 2), 9))
     absn2o_lo = minor3d_term(b, "ka_mn2o", col["h2o"], col["co2"], 1, 2, 3)
     adjn2o = _adj_minor(c, col["n2o"], 4, 1.5, 0.5, 0.65, chi)
-    tl = (tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = (tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
           + adjn2o[..., None] * absn2o_lo)
     # upper
     scu, jsu, fsu, _ = _spec(col["h2o"], col["co2"], c.rat["h2oco2"], 4.0)
     scu1, jsu1, fsu1, _ = _spec(col["h2o"], col["co2"], c.rat["h2oco2_1"], 4.0)
-    tmaj_u = _major_2key_upper(band(b, "absb"), c, jsu, fsu, jsu1, fsu1,
+    tmaj_u = _major_2key_upper(band(b, "absb"), c, Wt, jsu, fsu, jsu1, fsu1,
                                scu, scu1)
     refrat_m_b = float(chi_np[0, 12] / chi_np[1, 12])
     _, jmu, fmu, _ = _spec(col["h2o"], col["co2"], refrat_m_b, 4.0)
-    absn2o_up = _minor3d(band(b, "kb_mn2o"), jmu, fmu, c)
-    tu = (tmaj_u + _continuum(c, band(b, "selfref"), band(b, "forref"), False)
+    absn2o_up = _minor3d(band(b, "kb_mn2o"), jmu, fmu, Wt)
+    tu = (tmaj_u + _continuum(Wt, band(b, "selfref"), band(b, "forref"), False)
           + adjn2o[..., None] * absn2o_up)
     refrat_p_b = float(chi_np[0, 12] / chi_np[1, 12])
     jplu, fplu = _planck_js(col["h2o"], col["co2"], refrat_p_b, 4.0)
@@ -478,10 +500,10 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     b = 4
     tmaj, fr_a = two_key_lower(b, col["h2o"], col["co2"], "h2oco2",
                                ((1, 2), 11))
-    tl = tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
     scu, jsu, fsu, _ = _spec(col["o3"], col["co2"], c.rat["o3co2"], 4.0)
     scu1, jsu1, fsu1, _ = _spec(col["o3"], col["co2"], c.rat["o3co2_1"], 4.0)
-    tu = _major_2key_upper(band(b, "absb"), c, jsu, fsu, jsu1, fsu1,
+    tu = _major_2key_upper(band(b, "absb"), c, Wt, jsu, fsu, jsu1, fsu1,
                            scu, scu1)
     fudge = np.ones(NGC[3])
     fudge[7:14] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.88, 0.943]
@@ -497,11 +519,11 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
                                ((1, 2), 5))
     abso3 = minor3d_term(b, "ka_mo3", col["h2o"], col["co2"], 1, 2, 7)
     ccl4_term = c.wx["ccl4"][..., None] * band(b, "ccl4")
-    tl = (tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = (tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
           + col["o3"][..., None] * abso3 + ccl4_term)
     scu, jsu, fsu, _ = _spec(col["o3"], col["co2"], c.rat["o3co2"], 4.0)
     scu1, jsu1, fsu1, _ = _spec(col["o3"], col["co2"], c.rat["o3co2_1"], 4.0)
-    tu = _major_2key_upper(band(b, "absb"), c, jsu, fsu, jsu1, fsu1,
+    tu = _major_2key_upper(band(b, "absb"), c, Wt, jsu, fsu, jsu1, fsu1,
                            scu, scu1) + ccl4_term
     refrat_p_b = float(chi_np[2, 42] / chi_np[1, 42])
     jplu, fplu = _planck_js(col["o3"], col["co2"], refrat_p_b, 4.0)
@@ -511,11 +533,11 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     # ---- band 6: h2o lower (minor co2, cfc11, cfc12); upper cfc only ----
     b = 6
     adjco2 = _adj_minor(c, col["co2"], 2, 3.0, 2.0, 0.77, chi)
-    absco2 = _minor2d(band(b, "ka_mco2"), c)
+    absco2 = _minor2d(band(b, "ka_mco2"), Wt)
     cfc_term = (c.wx["cfc11"][..., None] * band(b, "cfc11adj")
                 + c.wx["cfc12"][..., None] * band(b, "cfc12"))
-    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), c, "lower")
-          + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), Wt, "lower")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
           + adjco2[..., None] * absco2 + cfc_term)
     tu = jnp.zeros_like(tl) + cfc_term
     fr = jnp.broadcast_to(band(b, "fracrefa"), L_shape + (NGC[5],))
@@ -525,18 +547,18 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     b = 7
     sc, js, fs, sp = _spec(col["h2o"], col["o3"], c.rat["h2oo3"], 8.0)
     sc1, js1, fs1, sp1 = _spec(col["h2o"], col["o3"], c.rat["h2oo3_1"], 8.0)
-    tmaj = _major_2key_lower(band(b, "absa"), c, js, fs, sp, js1, fs1, sp1,
+    tmaj = _major_2key_lower(band(b, "absa"), c, Wt, js, fs, sp, js1, fs1, sp1,
                              sc, sc1)
     absco2_lo = minor3d_term(b, "ka_mco2", col["h2o"], col["o3"], 1, 3, 3)
     adjco2_lo = _adj_minor(c, col["co2"], 2, 3.0, 3.0, 0.79, chi)
-    tl = (tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = (tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
           + adjco2_lo[..., None] * absco2_lo)
     refrat_p_a = float(chi_np[0, 2] / chi_np[2, 2])
     jpl, fpl = _planck_js(col["h2o"], col["o3"], refrat_p_a, 8.0)
     fr_a = _fracs_interp(band(b, "fracrefa"), jpl, fpl)
     adjco2_up = _adj_minor(c, col["co2"], 2, 3.0, 2.0, 0.79, chi)
-    tu = (col["o3"][..., None] * _major_1key(band(b, "absb"), c, "upper")
-          + adjco2_up[..., None] * _minor2d(band(b, "kb_mco2"), c))
+    tu = (col["o3"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
+          + adjco2_up[..., None] * _minor2d(band(b, "kb_mco2"), Wt))
     fudge = np.ones(NGC[6])
     fudge[5:11] = [0.92, 0.88, 1.07, 1.1, 0.99, 0.855]
     tu = tu * jnp.asarray(fudge, dt)
@@ -548,15 +570,15 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     adjco2 = _adj_minor(c, col["co2"], 2, 3.0, 2.0, 0.65, chi)
     cfc_term = (c.wx["cfc12"][..., None] * band(b, "cfc12")
                 + c.wx["cfc22"][..., None] * band(b, "cfc22adj"))
-    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), c, "lower")
-          + _continuum(c, band(b, "selfref"), band(b, "forref"))
-          + adjco2[..., None] * _minor2d(band(b, "ka_mco2"), c)
-          + col["o3"][..., None] * _minor2d(band(b, "ka_mo3"), c)
-          + col["n2o"][..., None] * _minor2d(band(b, "ka_mn2o"), c)
+    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), Wt, "lower")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
+          + adjco2[..., None] * _minor2d(band(b, "ka_mco2"), Wt)
+          + col["o3"][..., None] * _minor2d(band(b, "ka_mo3"), Wt)
+          + col["n2o"][..., None] * _minor2d(band(b, "ka_mn2o"), Wt)
           + cfc_term)
-    tu = (col["o3"][..., None] * _major_1key(band(b, "absb"), c, "upper")
-          + adjco2[..., None] * _minor2d(band(b, "kb_mco2"), c)
-          + col["n2o"][..., None] * _minor2d(band(b, "kb_mn2o"), c)
+    tu = (col["o3"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
+          + adjco2[..., None] * _minor2d(band(b, "kb_mco2"), Wt)
+          + col["n2o"][..., None] * _minor2d(band(b, "kb_mn2o"), Wt)
           + cfc_term)
     lower_upper(tl, tu,
                 jnp.broadcast_to(band(b, "fracrefa"), L_shape + (NGC[7],)),
@@ -568,19 +590,19 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
                                ((1, 6), 9))
     absn2o_lo = minor3d_term(b, "ka_mn2o", col["h2o"], col["ch4"], 1, 6, 3)
     adjn2o = _adj_minor(c, col["n2o"], 4, 1.5, 0.5, 0.65, chi)
-    tl = (tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = (tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
           + adjn2o[..., None] * absn2o_lo)
-    tu = (col["ch4"][..., None] * _major_1key(band(b, "absb"), c, "upper")
-          + adjn2o[..., None] * _minor2d(band(b, "kb_mn2o"), c))
+    tu = (col["ch4"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
+          + adjn2o[..., None] * _minor2d(band(b, "kb_mn2o"), Wt))
     fr_b = jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[8],))
     lower_upper(tl, tu, fr_a, fr_b)
 
     # ---- band 10: h2o only ----
     b = 10
-    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), c, "lower")
-          + _continuum(c, band(b, "selfref"), band(b, "forref")))
-    tu = (col["h2o"][..., None] * _major_1key(band(b, "absb"), c, "upper")
-          + _continuum(c, band(b, "selfref"), band(b, "forref"), False))
+    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), Wt, "lower")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref")))
+    tu = (col["h2o"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref"), False))
     lower_upper(tl, tu,
                 jnp.broadcast_to(band(b, "fracrefa"), L_shape + (NGC[9],)),
                 jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[9],)))
@@ -588,12 +610,12 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     # ---- band 11: h2o, minor o2 both regions ----
     b = 11
     scaleo2 = (col["o2"] * c.scaleminor)[..., None]
-    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), c, "lower")
-          + _continuum(c, band(b, "selfref"), band(b, "forref"))
-          + scaleo2 * _minor2d(band(b, "ka_mo2"), c))
-    tu = (col["h2o"][..., None] * _major_1key(band(b, "absb"), c, "upper")
-          + _continuum(c, band(b, "selfref"), band(b, "forref"), False)
-          + scaleo2 * _minor2d(band(b, "kb_mo2"), c))
+    tl = (col["h2o"][..., None] * _major_1key(band(b, "absa"), Wt, "lower")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
+          + scaleo2 * _minor2d(band(b, "ka_mo2"), Wt))
+    tu = (col["h2o"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref"), False)
+          + scaleo2 * _minor2d(band(b, "kb_mo2"), Wt))
     lower_upper(tl, tu,
                 jnp.broadcast_to(band(b, "fracrefa"), L_shape + (NGC[10],)),
                 jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[10],)))
@@ -602,7 +624,7 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     b = 12
     tmaj, fr_a = two_key_lower(b, col["h2o"], col["co2"], "h2oco2",
                                ((1, 2), 10))
-    tl = tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
     lower_upper(tl, jnp.zeros_like(tl), fr_a, jnp.zeros_like(fr_a))
 
     # ---- band 13: h2o+n2o lower (minors co2, co); o3 minor upper ----
@@ -617,17 +639,17 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     adjco2 = jnp.where(ratco2 > 3.0,
                        adjfac * 3.55e-4 * c.coldry * 1.0e-20, col["co2"])
     absco = minor3d_term(b, "ka_mco", col["h2o"], col["n2o"], 1, 4, 3)
-    tl = (tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    tl = (tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
           + adjco2[..., None] * absco2 + col["co"][..., None] * absco)
-    tu = col["o3"][..., None] * _minor2d(band(b, "kb_mo3"), c)
+    tu = col["o3"][..., None] * _minor2d(band(b, "kb_mo3"), Wt)
     fr_b = jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[12],))
     lower_upper(tl, tu, fr_a, fr_b)
 
     # ---- band 14: co2 only ----
     b = 14
-    tl = (col["co2"][..., None] * _major_1key(band(b, "absa"), c, "lower")
-          + _continuum(c, band(b, "selfref"), band(b, "forref")))
-    tu = col["co2"][..., None] * _major_1key(band(b, "absb"), c, "upper")
+    tl = (col["co2"][..., None] * _major_1key(band(b, "absa"), Wt, "lower")
+          + _continuum(Wt, band(b, "selfref"), band(b, "forref")))
+    tu = col["co2"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
     lower_upper(tl, tu,
                 jnp.broadcast_to(band(b, "fracrefa"), L_shape + (NGC[13],)),
                 jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[13],)))
@@ -636,13 +658,13 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     b = 15
     sc, js, fs, sp = _spec(col["n2o"], col["co2"], c.rat["n2oco2"], 8.0)
     sc1, js1, fs1, sp1 = _spec(col["n2o"], col["co2"], c.rat["n2oco2_1"], 8.0)
-    tmaj = _major_2key_lower(band(b, "absa"), c, js, fs, sp, js1, fs1, sp1,
+    tmaj = _major_2key_lower(band(b, "absa"), c, Wt, js, fs, sp, js1, fs1, sp1,
                              sc, sc1)
     refrat_m_a = float(chi_np[3, 0] / chi_np[1, 0])
     _, jm, fm, _ = _spec(col["n2o"], col["co2"], refrat_m_a, 8.0)
     scalen2 = (col["brd"] * c.scaleminor)[..., None]
-    taun2 = scalen2 * _minor3d(band(b, "ka_mn2"), jm, fm, c)
-    tl = (tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
+    taun2 = scalen2 * _minor3d(band(b, "ka_mn2"), jm, fm, Wt)
+    tl = (tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
           + taun2)
     refrat_p_a = float(chi_np[3, 0] / chi_np[1, 0])
     jpl, fpl = _planck_js(col["n2o"], col["co2"], refrat_p_a, 8.0)
@@ -653,8 +675,8 @@ def taumol_lw(c: LwSetcoef, kg: dict, static) -> tuple[jax.Array, jax.Array]:
     b = 16
     tmaj, fr_a = two_key_lower(b, col["h2o"], col["ch4"], "h2och4",
                                ((1, 6), 6))
-    tl = tmaj + _continuum(c, band(b, "selfref"), band(b, "forref"))
-    tu = col["ch4"][..., None] * _major_1key(band(b, "absb"), c, "upper")
+    tl = tmaj + _continuum(Wt, band(b, "selfref"), band(b, "forref"))
+    tu = col["ch4"][..., None] * _major_1key(band(b, "absb"), Wt, "upper")
     fr_b = jnp.broadcast_to(band(b, "fracrefb"), L_shape + (NGC[15],))
     lower_upper(tl, tu, fr_a, fr_b)
 
