@@ -49,6 +49,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from isca_tpu.physics.rrtmg_lw import _wsum
+
 DATA = Path(__file__).resolve().parent.parent / "data" / "rrtmg_sw.npz"
 
 NBND = 14
@@ -246,76 +248,77 @@ def _species_frac(c, col1, col2, strrat, nmult):
     return speccomb, js, fs
 
 
-def _interp_lower_2key(ka, c, js, fs):
-    """8-term interpolation on ka(9,5,13,ng) (taumol 'absa' blocks)."""
-    jp, jt, jt1 = c.jp, c.jt, c.jt1      # all 0-based
-    # lower region: pressure rows jp (ind0) and jp+1 (ind1), 0-based = jp, jp+1
-    def g(jss, jtt, jpp):
-        return ka[jss, jtt, jpp]          # (..., L, ng)
-    t00 = (1 - fs)[..., None] * (c.fac00[..., None] * g(js, jt, jp)
-                                 + c.fac10[..., None] * g(js, jt + 1, jp))
-    t10 = fs[..., None] * (c.fac00[..., None] * g(js + 1, jt, jp)
-                           + c.fac10[..., None] * g(js + 1, jt + 1, jp))
+# Table interpolation as one-hot weighted matmuls on the MXU (same design as
+# rrtmg_lw taumol): the (p,T) 4-point interpolant is identical across all 14
+# bands, so its one-hot weight matrix over the flattened (jt,jp) row space is
+# built once per taumol call and every band's lookup becomes W @ table.
+# Out-of-region rows (lower weights in the stratosphere) follow the clamped
+# gather they replace; both regions are masked by `tropo` before use.
+
+class _SwWeights(NamedTuple):
+    q_lo: jax.Array    # (..., L, 65)  lower-region (jt*13+jp) interpolant
+    q_up: jax.Array    # (..., L, 235) upper-region (jt*47+jp0) interpolant
+    selfw: jax.Array   # (..., L, 10)  self continuum incl. selffac
+    forw3: jax.Array   # (..., L, 3)   foreign continuum incl. forfac
+    forw4: jax.Array   # (..., L, 4)
+
+
+def _build_sw_weights(c: "SetcoefResult") -> _SwWeights:
+    dt = c.fac00.dtype
+    jp = jnp.minimum(c.jp, 12)            # clamp like the gathers it replaces
     jpp = jnp.minimum(jp + 1, 12)
-    t01 = (1 - fs)[..., None] * (c.fac01[..., None] * g(js, jt1, jpp)
-                                 + c.fac11[..., None] * g(js, jt1 + 1, jpp))
-    t11 = fs[..., None] * (c.fac01[..., None] * g(js + 1, jt1, jpp)
-                           + c.fac11[..., None] * g(js + 1, jt1 + 1, jpp))
-    return t00 + t10 + t01 + t11
-
-
-def _interp_lower_1key(ka, c):
-    """4-term interpolation on ka(5,13,ng)."""
-    jp, jt, jt1 = c.jp, c.jt, c.jt1
-    jpp = jnp.minimum(jp + 1, 12)
-    return (c.fac00[..., None] * ka[jt, jp]
-            + c.fac10[..., None] * ka[jt + 1, jp]
-            + c.fac01[..., None] * ka[jt1, jpp]
-            + c.fac11[..., None] * ka[jt1 + 1, jpp])
-
-
-def _upper_rows(c):
+    q_lo = _wsum([(c.jt * 13 + jp, c.fac00), ((c.jt + 1) * 13 + jp, c.fac10),
+                  (c.jt1 * 13 + jpp, c.fac01),
+                  ((c.jt1 + 1) * 13 + jpp, c.fac11)], 65, dt)
     jp0 = jnp.clip(c.jp - 12, 0, 46)      # kb row for ind0 (jp-13 Fortran 1b)
     jp1 = jnp.clip(c.jp - 11, 0, 46)      # kb row for ind1
-    return jp0, jp1
+    q_up = _wsum([(c.jt * 47 + jp0, c.fac00), ((c.jt + 1) * 47 + jp0, c.fac10),
+                  (c.jt1 * 47 + jp1, c.fac01),
+                  ((c.jt1 + 1) * 47 + jp1, c.fac11)], 235, dt)
+    selfw = c.selffac[..., None] * _wsum(
+        [(c.indself, 1.0 - c.selffrac), (c.indself + 1, c.selffrac)], 10, dt)
+    def forw(n):
+        return c.forfac[..., None] * _wsum(
+            [(c.indfor, 1.0 - c.forfrac),
+             (jnp.minimum(c.indfor + 1, n - 1), c.forfrac)], n, dt)
+    return _SwWeights(q_lo=q_lo, q_up=q_up, selfw=selfw,
+                      forw3=forw(3), forw4=forw(4))
 
 
-def _interp_upper_1key(kb, c):
-    """kb(5,47,ng) upper-region interpolation."""
-    jp0, jp1 = _upper_rows(c)
-    return (c.fac00[..., None] * kb[c.jt, jp0]
-            + c.fac10[..., None] * kb[c.jt + 1, jp0]
-            + c.fac01[..., None] * kb[c.jt1, jp1]
-            + c.fac11[..., None] * kb[c.jt1 + 1, jp1])
+def _js_weights(js, fs, nspa, dt):
+    """Species-dimension 2-point interpolation weights (..., L, nspa)."""
+    return _wsum([(js, 1.0 - fs), (js + 1, fs)], nspa, dt)
 
 
-def _interp_upper_2key5(kb, c, js, fs):
+def _interp_lower_2key(ka, W, wj):
+    """8-term interpolation on ka(9,5,13,ng): shared (p,T) one-hot x
+    per-band species weights over the factorized (9, 65, ng) row space."""
+    tab = jnp.asarray(ka).reshape(9, 65, -1)
+    return jnp.einsum("...q,...j,jqg->...g", W.q_lo, wj, tab)
+
+
+def _interp_lower_1key(ka, W):
+    """4-term interpolation on ka(5,13,ng) as one matmul."""
+    return W.q_lo @ jnp.asarray(ka).reshape(65, -1)
+
+
+def _interp_upper_1key(kb, W):
+    """kb(5,47,ng) upper-region interpolation as one matmul."""
+    return W.q_up @ jnp.asarray(kb).reshape(235, -1)
+
+
+def _interp_upper_2key5(kb, W, wj):
     """kb(5,5,47,ng) with 5-point species parameter (bands 17,21,28)."""
-    jp0, jp1 = _upper_rows(c)
-    def g(jss, jtt, jpp):
-        return kb[jss, jtt, jpp]
-    t00 = (1 - fs)[..., None] * (c.fac00[..., None] * g(js, c.jt, jp0)
-                                 + c.fac10[..., None] * g(js, c.jt + 1, jp0))
-    t10 = fs[..., None] * (c.fac00[..., None] * g(js + 1, c.jt, jp0)
-                           + c.fac10[..., None] * g(js + 1, c.jt + 1, jp0))
-    t01 = (1 - fs)[..., None] * (c.fac01[..., None] * g(js, c.jt1, jp1)
-                                 + c.fac11[..., None] * g(js, c.jt1 + 1, jp1))
-    t11 = fs[..., None] * (c.fac01[..., None] * g(js + 1, c.jt1, jp1)
-                           + c.fac11[..., None] * g(js + 1, c.jt1 + 1, jp1))
-    return t00 + t10 + t01 + t11
+    tab = jnp.asarray(kb).reshape(5, 235, -1)
+    return jnp.einsum("...q,...j,jqg->...g", W.q_up, wj, tab)
 
 
-def _continuum(c, selfref, forref, with_self):
+def _continuum(W, selfref, forref, with_self):
     """H2O self+foreign continuum terms, x colh2o outside."""
-    for_term = c.forfac[..., None] * (
-        forref[c.indfor] + c.forfrac[..., None]
-        * (forref[jnp.minimum(c.indfor + 1, forref.shape[0] - 1)] - forref[c.indfor]))
+    for_term = (W.forw3 if forref.shape[0] == 3 else W.forw4) @ forref
     if not with_self:
         return for_term
-    self_term = c.selffac[..., None] * (
-        selfref[c.indself] + c.selffrac[..., None]
-        * (selfref[c.indself + 1] - selfref[c.indself]))
-    return self_term + for_term
+    return W.selfw @ selfref + for_term
 
 
 def _laysolfr(meta, c):
@@ -342,6 +345,7 @@ def _laysolfr(meta, c):
 def taumol_sw(c: SetcoefResult, tables: _Tables):
     """Returns taug, taur (..., L, 112) bottom-up and sfluxzen (..., 112)."""
     col = c.col
+    W = _build_sw_weights(c)
     taugs, taurs, sfluxes = [], [], []
     for b in range(16, 30):
         meta = BAND_META[b]
@@ -355,7 +359,7 @@ def taumol_sw(c: SetcoefResult, tables: _Tables):
         dtype = col["h2o"].dtype
         shape_g = col["h2o"].shape + (ng,)
 
-        js_lo = fs_lo = js_up = fs_up = None
+        js_lo = fs_lo = js_up = fs_up = wj_lo = None
         # ---- lower (troposphere) optical depth ----
         if meta["lo"] == "zero":
             taug_lo = jnp.zeros(shape_g, dtype)
@@ -363,16 +367,17 @@ def taumol_sw(c: SetcoefResult, tables: _Tables):
             _, sp1, sp2, strrat = meta["lo"]
             speccomb, js_lo, fs_lo = _species_frac(c, col[sp1], col[sp2],
                                                    strrat, 8.0)
-            taug_lo = speccomb[..., None] * _interp_lower_2key(ka, c, js_lo, fs_lo)
+            wj_lo = _js_weights(js_lo, fs_lo, 9, dtype)
+            taug_lo = speccomb[..., None] * _interp_lower_2key(ka, W, wj_lo)
         else:  # 1key
             sp = meta["lo"][1]
-            base = _interp_lower_1key(ka, c)
+            base = _interp_lower_1key(ka, W)
             if b == 23:
                 base = 1.029 * base       # givfac (taumol23)
             taug_lo = col[sp][..., None] * base
 
         if meta["self_lo"] or meta["for_lo"]:
-            cont = _continuum(c, selfref, forref, meta["self_lo"])
+            cont = _continuum(W, selfref, forref, meta["self_lo"])
             taug_lo = taug_lo + col["h2o"][..., None] * cont
 
         # band-specific minor absorbers, lower
@@ -395,16 +400,17 @@ def taumol_sw(c: SetcoefResult, tables: _Tables):
             _, sp1, sp2, strrat = meta["up"]
             speccomb, js_up, fs_up = _species_frac(c, col[sp1], col[sp2],
                                                    strrat, 4.0)
-            taug_up = speccomb[..., None] * _interp_upper_2key5(kb, c, js_up, fs_up)
+            wj_up = _js_weights(js_up, fs_up, 5, dtype)
+            taug_up = speccomb[..., None] * _interp_upper_2key5(kb, W, wj_up)
         else:
             sp = meta["up"][1]
-            base = _interp_upper_1key(kb, c)
+            base = _interp_upper_1key(kb, W)
             if b == 22:
                 base = 1.6 * base         # o2adj
             taug_up = col[sp][..., None] * base
 
         if meta["for_up"]:
-            for_term = _continuum(c, selfref, forref, with_self=False)
+            for_term = _continuum(W, selfref, forref, with_self=False)
             taug_up = taug_up + col["h2o"][..., None] * for_term
         if b == 22:
             taug_up = taug_up + (4.35e-4 * col["o2"] / 700.0)[..., None]
@@ -423,8 +429,7 @@ def taumol_sw(c: SetcoefResult, tables: _Tables):
         if b == 24:
             rayla = tables.band(24, "rayla")     # (ng, 9)
             raylb = tables.band(24, "raylb")
-            ra = (rayla.T[js_lo] + fs_lo[..., None]
-                  * (rayla.T[js_lo + 1] - rayla.T[js_lo]))
+            ra = wj_lo @ rayla.T
             taur = col["mol"][..., None] * jnp.where(
                 c.tropo[..., None], ra, raylb)
         elif rayl.ndim == 0:
