@@ -28,6 +28,7 @@ import numpy as np
 
 from isca_tpu.io.diag_manager import DiagManager, DiagTable
 from isca_tpu.io.restart import load_restart, save_restart
+from isca_tpu.utils.events import EventEmitter, FailedRunError
 
 log = logging.getLogger("isca_tpu")
 if not log.handlers:
@@ -37,13 +38,23 @@ if not log.handlers:
     log.setLevel(logging.INFO)
 
 
-class Experiment:
+class Experiment(EventEmitter):
+    """Lifecycle events ('run:ready', 'run:progress', 'run:complete',
+    'run:failed' - experiment.py:300-353 equivalents) can be hooked with
+    `exp.on(event, fn)`.  With `json_logging=True`, per-chunk global
+    integrals from `model.diagnostics()` are appended to run{i}/steps.jsonl
+    (spectral_dynamics_nml json_logging + print_interval global-integral
+    prints, spectral_dynamics.F90:203, 1869-1912)."""
+
     def __init__(self, name: str, model, diag_table: DiagTable | None = None,
-                 datadir: str = "runs", steps_per_diag_chunk: int | None = None):
+                 datadir: str = "runs", steps_per_diag_chunk: int | None = None,
+                 json_logging: bool = False):
+        super().__init__()
         self.name = name
         self.model = model
         self.datadir = os.path.join(datadir, name)
         self.diag_table = diag_table
+        self.json_logging = json_logging
         os.makedirs(os.path.join(self.datadir, "restarts"), exist_ok=True)
         core = getattr(model, "core", None)
         self.T = core.T if core is not None else model.T
@@ -133,18 +144,44 @@ class Experiment:
         chunk_first = jax.jit(lambda s, d: chunk(s, d, True))
         chunk_rest = jax.jit(lambda s, d: chunk(s, d, False))
 
+        jlog = None
+        if self.json_logging and hasattr(model, "diagnostics"):
+            jlog = open(os.path.join(rundir, "steps.jsonl"), "w")
+
+        self.emit("run:ready", self, i)
         t0 = _time.time()
         seconds_done = 0.0
-        for ic in range(n_chunks):
-            state, diag_state = (chunk_first if (first and ic == 0) else chunk_rest)(
-                state, diag_state
-            )
-            seconds_done += steps_per_chunk * self.dt
-            if dm is not None:
-                jax.block_until_ready(state)
+        try:
+            for ic in range(n_chunks):
+                state, diag_state = (
+                    chunk_first if (first and ic == 0) else chunk_rest
+                )(state, diag_state)
+                seconds_done += steps_per_chunk * self.dt
                 time_days = ((i - 1) * days) + seconds_done / 86400.0
-                diag_state = dm.flush(diag_state, time_days, segment_label="")
-        jax.block_until_ready(state)
+                if dm is not None:
+                    jax.block_until_ready(state)
+                    diag_state = dm.flush(diag_state, time_days, segment_label="")
+                if jlog is not None:
+                    scalars = {
+                        k: float(v)
+                        for k, v in model.diagnostics(state).items()
+                        if np.ndim(v) == 0
+                    }
+                    if not np.all(np.isfinite(list(scalars.values()))):
+                        raise FailedRunError(
+                            f"segment {i}: non-finite diagnostics at day "
+                            f"{time_days:.2f}: {scalars}")
+                    jlog.write(json.dumps(
+                        {"segment": i, "day": time_days, **scalars}) + "\n")
+                    jlog.flush()
+                self.emit("run:progress", self, i, time_days)
+            jax.block_until_ready(state)
+        except Exception:
+            self.emit("run:failed", self, i)
+            raise
+        finally:
+            if jlog is not None:
+                jlog.close()
         wall = _time.time() - t0
         log.info(
             "segment %d: %d days in %.1fs (%.0f model-days/day)",
@@ -157,4 +194,5 @@ class Experiment:
         with open(os.path.join(rundir, "provenance.json"), "w") as f:
             json.dump({"segment": i, "days": days, "dt": self.dt,
                        "wall_seconds": wall}, f)
+        self.emit("run:complete", self, i)
         return state

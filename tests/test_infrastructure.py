@@ -154,3 +154,76 @@ class TestTimeInterp:
         eq = ts[np.abs(lats) < 10].mean()
         pole = ts[np.abs(lats) > 70].mean()
         assert eq > 295.0 and abs(pole - 273.15) < 1.0
+
+
+class TestEventsAndLogging:
+    def _model(self):
+        return HeldSuarezModel(HeldSuarezConfig(core=PrimitiveConfig(
+            resolution="T21", num_levels=8, dt=1800.0, dtype=jnp.float64)))
+
+    def test_event_hooks_and_json_logging(self, tmp_path):
+        import json
+        exp = Experiment("events", self._model(), None, datadir=str(tmp_path),
+                         json_logging=True)
+        seen = []
+        exp.on("run:ready", lambda e, i: seen.append(("ready", i)))
+        exp.on("run:progress", lambda e, i, d: seen.append(("progress", d)))
+
+        @exp.on("run:complete")
+        def _done(e, i):
+            seen.append(("complete", i))
+
+        exp.run(1, days=1)
+        kinds = [k for k, _ in seen]
+        assert kinds[0] == "ready" and kinds[-1] == "complete"
+        assert "progress" in kinds
+
+        path = os.path.join(str(tmp_path), "events", "run0001", "steps.jsonl")
+        rows = [json.loads(l) for l in open(path)]
+        assert rows and rows[-1]["day"] == pytest.approx(1.0)
+        assert 150 < rows[-1]["tmin"] <= rows[-1]["tmax"] < 500
+        assert rows[-1]["mean_ps"] == pytest.approx(101325.0, rel=1e-3)
+
+    def test_failed_run_event(self, tmp_path):
+        """Non-finite diagnostics abort with FailedRunError + run:failed."""
+        from isca_tpu.utils.events import FailedRunError
+        model = self._model()
+        exp = Experiment("fail", model, None, datadir=str(tmp_path),
+                         json_logging=True)
+        failed = []
+        exp.on("run:failed", lambda e, i: failed.append(i))
+        real_diag = model.diagnostics
+        model.diagnostics = lambda s: {**real_diag(s), "tmin": float("nan")}
+        with pytest.raises(FailedRunError):
+            exp.run(1, days=1)
+        assert failed == [1]
+
+
+class TestChksum:
+    def test_layout_independent(self):
+        from isca_tpu.utils.chksum import chksum, combined_chksum, tree_chksum
+        x = np.arange(4096, dtype=np.float32).reshape(64, 64) * 1.7
+        assert chksum(x) == chksum(x.reshape(16, 256))
+        assert chksum(x) == chksum(jnp.asarray(x))
+        assert chksum(x) != chksum(x + 1.0)
+        tree = {"a": x, "b": {"c": x[:2]}}
+        d = tree_chksum(tree)
+        assert len(d) == 2 and all(isinstance(v, int) for v in d.values())
+        assert combined_chksum(tree) == combined_chksum(
+            {"a": x.copy(), "b": {"c": x[:2].copy()}})
+
+    def test_golden_round_trip(self, tmp_path):
+        from isca_tpu.utils.chksum import check_golden, save_golden
+        tree = {"t": np.linspace(0, 1, 100), "u": np.ones((3, 4))}
+        p = str(tmp_path / "golden.json")
+        save_golden(p, tree)
+        assert check_golden(p, tree) == []
+        tree["u"][0, 0] = 2.0
+        assert check_golden(p, tree) == ["['u']"]
+
+    def test_complex_state(self):
+        from isca_tpu.utils.chksum import chksum
+        z = np.exp(1j * np.linspace(0, 3, 50)).astype(np.complex128)
+        assert chksum(z) == chksum(z.copy())
+        z2 = z.copy(); z2[3] += 1e-12
+        assert chksum(z) != chksum(z2)
