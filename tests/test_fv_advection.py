@@ -137,3 +137,29 @@ class TestWaterBorrowing:
         w0 = float((q * dp).sum())
         w1 = float((q2 * dp).sum())
         np.testing.assert_allclose(w1, w0, rtol=1e-10)
+
+
+class TestOneHotGatherPath:
+    def test_f32_onehot_matches_native_gather_exactly(self):
+        """The one-hot MXU gather used at f32 selects values bit-for-bit:
+        the full advection tendency must equal the native-gather path."""
+        from isca_tpu.dycore import fv_advection as fvmod
+        T32 = tr.make_transforms("T21", radius=6.371e6, dtype=jnp.float32)
+        G32 = make_fv_geometry(T32)
+        rng = np.random.default_rng(3)
+        L, ny, nx = 4, T32.nlat, T32.nlon
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        q = f32(rng.random((L, ny, nx)))
+        u = f32(80.0 * rng.standard_normal((L, ny, nx)))  # big polar CFL
+        v = f32(15.0 * rng.standard_normal((L, ny, nx)))
+        dt = 1800.0
+        out_onehot = jax.jit(
+            lambda u, v, q: a_grid_horiz_advection(G32, u, v, q, dt))(u, v, q)
+        fvmod._FORCE_NATIVE_GATHER = True
+        try:
+            out_native = jax.jit(
+                lambda u, v, q: a_grid_horiz_advection(G32, u, v, q, dt))(u, v, q)
+        finally:
+            fvmod._FORCE_NATIVE_GATHER = False
+        np.testing.assert_array_equal(np.asarray(out_onehot),
+                                      np.asarray(out_native))
