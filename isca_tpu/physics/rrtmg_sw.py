@@ -48,6 +48,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
 
 from isca_tpu.physics.rrtmg_lw import _wsum
 
@@ -546,10 +547,14 @@ def reftra_sw(tau, w0, g, mu0):
 # ---------------------------------------------------------------------------
 
 def vrtqdr_sw(ref, refd, tra, trad, dbt, tdbt, alb_dir, alb_dif):
-    """Layer arrays (..., L) top-down; tdbt (..., L+1); albedos (...).
-    Returns fd, fu at (..., L+1) levels."""
-    L = ref.shape[-1]
-    mv = lambda a: jnp.moveaxis(a, -1, 0)
+    """Layer arrays (..., L, g) top-down; tdbt (..., L+1, g); albedos
+    (..., g).  Returns fd, fu at (..., L+1, g) levels.
+
+    The layer axis is second-to-last so the g-point axis stays minor-most
+    (112 of 128 lanes) throughout; a single moveaxis feeds the scans and no
+    (..., g, L) intermediates (25/128 lanes) are ever materialized.
+    """
+    mv = lambda a: jnp.moveaxis(a, -2, 0)
 
     # up sweep: rup/rupd from surface upward
     def up_step(carry, x):
@@ -581,7 +586,7 @@ def vrtqdr_sw(ref, refd, tra, trad, dbt, tdbt, alb_dir, alb_dif):
 
     one = jnp.ones_like(alb_dir)
     zero = jnp.zeros_like(alb_dir)
-    xs_dn = xs + (mv(tdbt[..., :-1]),)
+    xs_dn = xs + (mv(tdbt[..., :-1, :]),)
     (_, _), (tdn_scan, rdnd_scan) = jax.lax.scan(dn_step, (one, zero), xs_dn)
     tdn = jnp.concatenate([one[None], tdn_scan], axis=0)
     rdnd = jnp.concatenate([zero[None], rdnd_scan], axis=0)
@@ -590,7 +595,7 @@ def vrtqdr_sw(ref, refd, tra, trad, dbt, tdbt, alb_dir, alb_dif):
     reflect = 1.0 / (1.0 - rdnd * rupd)
     fu = (tdbt_lvl * rup + (tdn - tdbt_lvl) * rupd) * reflect
     fd = tdbt_lvl + (tdn - tdbt_lvl + tdbt_lvl * rup * rdnd) * reflect
-    return jnp.moveaxis(fd, 0, -1), jnp.moveaxis(fu, 0, -1)
+    return jnp.moveaxis(fd, 0, -2), jnp.moveaxis(fu, 0, -2)
 
 
 # ---------------------------------------------------------------------------
@@ -604,6 +609,241 @@ def _delta_scale(tau, w0, g):
     w0_s = (w0 - wf) / (1.0 - wf)
     g_s = (g - f) / (1.0 - f)
     return tau_s, w0_s, g_s
+
+
+# ---------------------------------------------------------------------------
+# fused Pallas solver: delta-scale + reftra + direct-beam transmission +
+# both vrtqdr adding sweeps + flux combine in ONE HBM pass.
+#
+# The jnp path materializes ~15 (B, L, 112) intermediates (ref/refd/tra/
+# trad/dbt/tdbt/scan stacks), ~2.3 GB of HBM traffic per call at T42L25;
+# the fused kernel reads tau/w0/g (+cloud set) once and writes fd/fu/tdbt
+# once with all carries held in VMEM (~0.6 GB).  The L=25 sweeps unroll as
+# straight-line VPU code on (TB, 112) tiles.
+# ---------------------------------------------------------------------------
+
+def _reftra_level(tau, w0, g, mu0):
+    """Delta-scale + reftra + direct transmission for ONE layer slice
+    (TB, G); keeps the ~30 reftra temporaries at (TB, G) so VMEM stays
+    small regardless of L."""
+    tau, w0, g = _delta_scale(tau, w0, g)
+    ref, refd, tra, trad = reftra_sw(tau, w0, g, mu0)
+    dbt = jnp.exp(-jnp.minimum(tau / mu0, 500.0))
+    return ref, refd, tra, trad, dbt
+
+
+def _sw_flux_kernel_body(cloudy, L):
+    """Kernel body: level loops are lax.fori_loop (NOT unrolled - Mosaic
+    stack-allocates every unrolled iteration's temporaries, 25x the live
+    set).  Scratch is (L, TB, G) so the dynamic level index rides the
+    leading axis."""
+    def kernel(*refs):
+        if cloudy:
+            (tauc_ref, w0c_ref, gc_ref, tauo_ref, w0o_ref, go_ref, cf_ref,
+             mu0_ref, adir_ref, adif_ref, zinc_ref,
+             swd_ref, swu_ref, dird_ref,
+             ref_s, refd_s, tra_s, trad_s, dbt_s, rup_s, rupd_s,
+             swd_t, swu_t, dird_t) = refs
+        else:
+            (tauc_ref, w0c_ref, gc_ref, mu0_ref, adir_ref, adif_ref,
+             zinc_ref, swd_ref, swu_ref, dird_ref,
+             ref_s, refd_s, tra_s, trad_s, dbt_s, rup_s, rupd_s,
+             swd_t, swu_t, dird_t) = refs
+        mu0 = mu0_ref[:]                               # (TB, 1)
+        zinc = zinc_ref[:]                             # (TB, G)
+        sl = lambda r, l: r[:, pl.ds(l, 1), :][:, 0, :]
+
+        # stage 1: per-layer two-stream properties into VMEM scratch
+        def stage1(l, _):
+            ref, refd, tra, trad, dbt = _reftra_level(
+                sl(tauc_ref, l), sl(w0c_ref, l), sl(gc_ref, l), mu0)
+            if cloudy:
+                ref_o, refd_o, tra_o, trad_o, dbt_o = _reftra_level(
+                    sl(tauo_ref, l), sl(w0o_ref, l), sl(go_ref, l), mu0)
+                cf = sl(cf_ref, l)
+                ref = (1.0 - cf) * ref + cf * ref_o
+                refd = (1.0 - cf) * refd + cf * refd_o
+                tra = (1.0 - cf) * tra + cf * tra_o
+                trad = (1.0 - cf) * trad + cf * trad_o
+                dbt = (1.0 - cf) * dbt + cf * dbt_o
+            ref_s[pl.ds(l, 1)] = ref[None]
+            refd_s[pl.ds(l, 1)] = refd[None]
+            tra_s[pl.ds(l, 1)] = tra[None]
+            trad_s[pl.ds(l, 1)] = trad[None]
+            dbt_s[pl.ds(l, 1)] = dbt[None]
+            return 0
+        jax.lax.fori_loop(0, L, stage1, 0)
+
+        # stage 2: up sweep (surface -> top), rup/rupd per level to scratch
+        rup_s[pl.ds(L, 1)] = adir_ref[:][None]
+        rupd_s[pl.ds(L, 1)] = adif_ref[:][None]
+
+        def stage2(i, carry):
+            rup, rupd = carry
+            l = L - 1 - i
+            rf, rfd, tr, trd, db = (s[pl.ds(l, 1)][0] for s in
+                                    (ref_s, refd_s, tra_s, trad_s, dbt_s))
+            reflect = 1.0 / (1.0 - rupd * rfd)
+            rup = rf + (trd * ((tr - db) * rupd + db * rup)) * reflect
+            rupd = rfd + trd * trd * rupd * reflect
+            rup_s[pl.ds(l, 1)] = rup[None]
+            rupd_s[pl.ds(l, 1)] = rupd[None]
+            return rup, rupd
+        jax.lax.fori_loop(0, L, stage2, (adir_ref[:], adif_ref[:]))
+
+        # stage 3: down sweep + per-level flux combine, reduced over g
+        wsum = lambda f: jnp.sum(zinc * f, axis=-1, keepdims=True).T
+
+        def combine(l, tdn, rdnd, tdb):
+            rup = rup_s[pl.ds(l, 1)][0]
+            rupd = rupd_s[pl.ds(l, 1)][0]
+            reflect = 1.0 / (1.0 - rdnd * rupd)
+            fu = (tdb * rup + (tdn - tdb) * rupd) * reflect
+            fd = tdb + (tdn - tdb + tdb * rup * rdnd) * reflect
+            swu_t[pl.ds(l, 1)] = wsum(fu)
+            swd_t[pl.ds(l, 1)] = wsum(fd)
+            dird_t[pl.ds(l, 1)] = wsum(tdb)
+
+        one = jnp.ones_like(zinc)
+        zero = jnp.zeros_like(zinc)
+        combine(0, one, zero, one)
+
+        def stage3(lm1, carry):
+            tdn, rdnd, tdb = carry
+            rf, rfd, tr, trd, db = (s[pl.ds(lm1, 1)][0] for s in
+                                    (ref_s, refd_s, tra_s, trad_s, dbt_s))
+            reflect = 1.0 / (1.0 - rfd * rdnd)
+            tdn_new = tdb * tr + (trd * ((tdn - tdb)
+                                         + tdb * rf * rdnd)) * reflect
+            rdnd = rfd + trd * trd * rdnd * reflect
+            tdb = tdb * db
+            combine(lm1 + 1, tdn_new, rdnd, tdb)
+            return tdn_new, rdnd, tdb
+        jax.lax.fori_loop(0, L, stage3, (one, zero, one))
+
+        # write accumulated (levels, TB) scratch as the (TB, L+1) block
+        swd_ref[:] = swd_t[:L + 1].T
+        swu_ref[:] = swu_t[:L + 1].T
+        dird_ref[:] = dird_t[:L + 1].T
+    return kernel
+
+
+def _pallas_ok(dtype):
+    """Gate for the experimental fused Pallas solve.
+
+    Default OFF: measured on one v5e chip at T42L25 the XLA path runs the
+    solve in ~8.7 ms while the Pallas kernel needs ~19.6 ms - the adding
+    sweeps are a serial recurrence over L, and Mosaic either stack-allocates
+    every unrolled iteration's temporaries (VMEM OOM above 48 batch rows) or
+    pays ~us-scale fori_loop iteration overhead on the (TB, 112) tiles.  A
+    streaming-DMA design (levels resident in HBM, wide batch tiles) is the
+    known fix; until then XLA's scan is faster.  Set ISCA_SW_PALLAS=1 to
+    experiment."""
+    import os
+    if os.environ.get("ISCA_SW_PALLAS") != "1":
+        return False
+    if dtype != jnp.float32:
+        return False
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    return platform in ("tpu", "axon")
+
+
+def sw_solve(tau, w0, g, mu0, alb_dir_g, alb_dif_g, cloud=None):
+    """Two-stream solve (jnp path): delta-scale + reftra_sw + vertical
+    adding.  tau/w0/g: (..., L, G) PRE-delta-scaling; mu0 (..., 1, 1);
+    albedos (..., G).  cloud = (tau_o, w0_o, g_o, cf) blends a total-sky
+    property set by cloud fraction before the sweeps (spcvrt icpr=0).
+    Returns (fd, fu, tdbt) at (..., L+1, G).
+    """
+    tau_s, w0_s, g_s = _delta_scale(tau, w0, g)
+    ref, refd, tra, trad = reftra_sw(tau_s, w0_s, g_s, mu0)
+    dbt = jnp.exp(-jnp.minimum(tau_s / mu0, 500.0))
+    if cloud is not None:
+        tau_o, w0_o, g_o, cf = cloud
+        tau_os, w0_os, g_os = _delta_scale(tau_o, w0_o, g_o)
+        ref_o, refd_o, tra_o, trad_o = reftra_sw(tau_os, w0_os, g_os, mu0)
+        dbt_o = jnp.exp(-jnp.minimum(tau_os / mu0, 500.0))
+        ref = (1.0 - cf) * ref + cf * ref_o
+        refd = (1.0 - cf) * refd + cf * refd_o
+        tra = (1.0 - cf) * tra + cf * tra_o
+        trad = (1.0 - cf) * trad + cf * trad_o
+        dbt = (1.0 - cf) * dbt + cf * dbt_o
+    tdbt = jnp.cumprod(
+        jnp.concatenate([jnp.ones_like(dbt[..., :1, :]), dbt],
+                        axis=-2), axis=-2)
+    fd, fu = vrtqdr_sw(ref, refd, tra, trad, dbt, tdbt,
+                       alb_dir_g, alb_dif_g)
+    return fd, fu, tdbt
+
+
+def sw_flux_solve(tau, w0, g, mu0, alb_dir_g, alb_dif_g, zincflx,
+                  cloud=None, force_jnp=False, interpret=False):
+    """Broadband two-stream fluxes: sw_solve + incident-flux-weighted
+    g-point reduction, fused into one Pallas pass on TPU.
+
+    Returns (swd, swu, dird), each (..., L+1) = sum_g zincflx * {fd,fu,tdbt}.
+    """
+    use_pallas = interpret or (not force_jnp and _pallas_ok(tau.dtype))
+    if not use_pallas:
+        fd, fu, tdbt = sw_solve(tau, w0, g, mu0, alb_dir_g, alb_dif_g,
+                                cloud=cloud)
+        wsum = lambda f: jnp.sum(zincflx[..., None, :] * f, axis=-1)
+        return wsum(fd), wsum(fu), wsum(tdbt)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    batch = tau.shape[:-2]
+    L, G = tau.shape[-2], tau.shape[-1]
+    B = int(np.prod(batch)) if batch else 1
+    cloudy = cloud is not None
+    TB = min(24 if cloudy else 48, -(-B // 8) * 8)
+    Bp = -(-B // TB) * TB
+    dt = tau.dtype
+
+    def prep3(a):
+        a = jnp.broadcast_to(a, batch + (L, G)).reshape(B, L, G)
+        return jnp.pad(a, ((0, Bp - B), (0, 0), (0, 0)))
+
+    def prep2(a):
+        a = jnp.broadcast_to(a, batch + (G,)).reshape(B, G)
+        return jnp.pad(a, ((0, Bp - B), (0, 0)))
+
+    mu0_flat = jnp.broadcast_to(mu0, batch + (1, 1)).reshape(B, 1)
+    mu0_flat = jnp.pad(mu0_flat, ((0, Bp - B), (0, 0)), constant_values=1.0)
+
+    ins = [prep3(tau), prep3(w0), prep3(g)]
+    if cloudy:
+        tau_o, w0_o, g_o, cf = cloud
+        ins += [prep3(tau_o), prep3(w0_o), prep3(g_o), prep3(cf)]
+    ins += [mu0_flat, prep2(alb_dir_g), prep2(alb_dif_g), prep2(zincflx)]
+
+    bs3 = pl.BlockSpec((TB, L, G), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    bs2 = pl.BlockSpec((TB, G), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    bs1 = pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [bs3] * (7 if cloudy else 3) + [bs1, bs2, bs2, bs2]
+    bso = pl.BlockSpec((TB, L + 1), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    out2 = jax.ShapeDtypeStruct((Bp, L + 1), dt)
+    Lpad = -(-(L + 1) // 8) * 8      # per-level store scratch, sublane-tiled
+
+    swd, swu, dird = pl.pallas_call(
+        _sw_flux_kernel_body(cloudy, L),
+        grid=(Bp // TB,),
+        in_specs=in_specs,
+        out_specs=(bso, bso, bso),
+        out_shape=(out2, out2, out2),
+        scratch_shapes=[pltpu.VMEM((L, TB, G), dt) for _ in range(5)]
+        + [pltpu.VMEM((L + 1, TB, G), dt) for _ in range(2)]
+        + [pltpu.VMEM((Lpad, TB), dt) for _ in range(3)],
+        interpret=interpret,
+    )(*ins)
+    unpad = lambda a: a[:B].reshape(batch + (L + 1,))
+    return unpad(swd), unpad(swu), unpad(dird)
 
 
 class RRTMGSw:
@@ -661,30 +901,18 @@ class RRTMGSw:
         solvar = cfg.scon / RRSW_SCON
         zincflx = solvar * sfluxzen * jnp.maximum(coszen, 0.0)[..., None]
 
-        # clear-sky combined properties per g-point (aerosol-free)
+        # clear-sky combined properties per g-point (aerosol-free),
+        # PRE-delta-scaling (sw_solve delta-scales internally)
         ztauc = taur + taug
         zomcc = taur / jnp.maximum(ztauc, 1e-20)
         zgcc = jnp.zeros_like(ztauc)
-        ztauc, zomcc, zgcc = _delta_scale(ztauc, zomcc, zgcc)
 
         gshape = ztauc.shape[:-2] + (NGPT,)
         alb_dir_g = jnp.broadcast_to(alb_dir[..., None], gshape)
         alb_dif_g = jnp.broadcast_to(alb_dif[..., None], gshape)
 
-        def solve(tau, w0, g):
-            ref, refd, tra, trad = reftra_sw(tau, w0, g, mu0)
-            dbt_layer = jnp.exp(-jnp.minimum(tau / mu0, 500.0))
-            tdbt = jnp.cumprod(
-                jnp.concatenate([jnp.ones_like(dbt_layer[..., :1, :]),
-                                 dbt_layer], axis=-2), axis=-2)
-            # move g-axis next to batch: vrtqdr expects (..., L) trailing
-            sw = lambda a: jnp.swapaxes(a, -1, -2)
-            fd, fu = vrtqdr_sw(sw(ref), sw(refd), sw(tra), sw(trad),
-                               sw(dbt_layer), sw(tdbt),
-                               alb_dir_g, alb_dif_g)
-            return sw(fd), sw(fu), tdbt   # (..., L+1, ngpt)
-
-        fd_c, fu_c, tdbt_c = solve(ztauc, zomcc, zgcc)
+        swdflxc, swuflxc, dird_c = sw_flux_solve(
+            ztauc, zomcc, zgcc, mu0, alb_dir_g, alb_dif_g, zincflx)
 
         if cldfrac is not None:
             # total-sky: combine cloud properties at original (pre-delta)
@@ -697,39 +925,17 @@ class RRTMGSw:
             zomco = taur + tc * wc
             zgco = (tc * wc * gc) / jnp.maximum(zomco, 1e-20)
             zomco = zomco / jnp.maximum(ztauo, 1e-20)
-            ztauo, zomco, zgco = _delta_scale(ztauo, zomco, zgco)
             # per-layer cloud fraction, or per-g-point binary (McICA
-            # subcolumns from physics/mcica.py) — the fraction blend below
+            # subcolumns from physics/mcica.py) — the fraction blend
             # covers both (binary cf selects clear/cloudy exactly)
             cf = (cldfrac if cldfrac.ndim == ztauc.ndim
                   else cldfrac[..., None])
-            ref_c_, refd_c_, tra_c_, trad_c_ = reftra_sw(ztauc, zomcc, zgcc, mu0)
-            ref_o, refd_o, tra_o, trad_o = reftra_sw(ztauo, zomco, zgco, mu0)
-            ref = (1 - cf) * ref_c_ + cf * ref_o
-            refd = (1 - cf) * refd_c_ + cf * refd_o
-            tra = (1 - cf) * tra_c_ + cf * tra_o
-            trad = (1 - cf) * trad_c_ + cf * trad_o
-            dbt_cl = jnp.exp(-jnp.minimum(ztauc / mu0, 500.0))
-            dbt_ov = jnp.exp(-jnp.minimum(ztauo / mu0, 500.0))
-            dbt_layer = (1 - cf) * dbt_cl + cf * dbt_ov
-            tdbt = jnp.cumprod(
-                jnp.concatenate([jnp.ones_like(dbt_layer[..., :1, :]),
-                                 dbt_layer], axis=-2), axis=-2)
-            sw = lambda a: jnp.swapaxes(a, -1, -2)
-            fd_t, fu_t = vrtqdr_sw(sw(ref), sw(refd), sw(tra), sw(trad),
-                                   sw(dbt_layer), sw(tdbt),
-                                   alb_dir_g, alb_dif_g)
-            fd_t, fu_t = sw(fd_t), sw(fu_t)
-            tdbt_t = tdbt
+            cf = jnp.broadcast_to(cf, ztauc.shape)
+            swdflx, swuflx, dirdflx = sw_flux_solve(
+                ztauc, zomcc, zgcc, mu0, alb_dir_g, alb_dif_g, zincflx,
+                cloud=(ztauo, zomco, zgco, cf))
         else:
-            fd_t, fu_t, tdbt_t = fd_c, fu_c, tdbt_c
-
-        wsum = lambda f: jnp.sum(zincflx[..., None, :] * f, axis=-1)
-        swdflx = wsum(fd_t)
-        swuflx = wsum(fu_t)
-        swdflxc = wsum(fd_c)
-        swuflxc = wsum(fu_c)
-        dirdflx = wsum(tdbt_t)
+            swdflx, swuflx, dirdflx = swdflxc, swuflxc, dird_c
 
         # heating rate from net-flux convergence [K/s]: layer absorbs
         # Fnet(top) - Fnet(bottom), both half-level arrays top-down

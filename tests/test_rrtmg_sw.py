@@ -253,3 +253,55 @@ class TestCldprop:
         tg = np.asarray(state.dyn.tg.curr)
         assert np.all(np.isfinite(tg)) and 150 < tg.mean() < 330
         assert "cf" in diag
+
+
+class TestPallasSolver:
+    """The fused Pallas broadband flux solve vs the jnp path."""
+
+    def _inputs(self, cloudy, batch=(5, 3), L=9):
+        rng = np.random.default_rng(7)
+        G = 112
+        f32 = lambda x: jnp.asarray(x, jnp.float32)
+        tau = f32(rng.gamma(1.5, 0.08, batch + (L, G)))
+        w0 = f32(rng.uniform(0.0, 1.0, batch + (L, G)))
+        g = f32(rng.uniform(0.0, 0.8, batch + (L, G)))
+        mu0 = f32(rng.uniform(0.05, 1.0, batch + (1, 1)))
+        adir = f32(rng.uniform(0.05, 0.6, batch + (G,)))
+        adif = f32(rng.uniform(0.05, 0.6, batch + (G,)))
+        zinc = f32(rng.uniform(0.0, 12.0, batch + (G,)))
+        cloud = None
+        if cloudy:
+            cloud = (tau + f32(rng.gamma(2.0, 2.0, batch + (L, G))),
+                     f32(rng.uniform(0.3, 1.0, batch + (L, G))),
+                     f32(rng.uniform(0.0, 0.9, batch + (L, G))),
+                     f32(rng.uniform(0.0, 1.0, batch + (L, G))))
+        return tau, w0, g, mu0, adir, adif, zinc, cloud
+
+    @pytest.mark.parametrize("cloudy", [False, True])
+    def test_interpret_matches_jnp(self, cloudy):
+        from isca_tpu.physics.rrtmg_sw import sw_flux_solve
+        tau, w0, g, mu0, adir, adif, zinc, cloud = self._inputs(cloudy)
+        ref = sw_flux_solve(tau, w0, g, mu0, adir, adif, zinc, cloud=cloud,
+                            force_jnp=True)
+        out = sw_flux_solve(tau, w0, g, mu0, adir, adif, zinc, cloud=cloud,
+                            interpret=True)
+        scale = float(np.abs(np.asarray(ref[0])).max())
+        for a, b, name in zip(out, ref, ("swd", "swu", "dird")):
+            # f32 reassociation (tree cumprod/sum vs serial) ~1e-4 relative
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-4 * scale,
+                err_msg=name)
+
+    def test_odd_batch_padding(self):
+        """Batch not a multiple of the kernel tile pads and unpads cleanly."""
+        from isca_tpu.physics.rrtmg_sw import sw_flux_solve
+        tau, w0, g, mu0, adir, adif, zinc, _ = self._inputs(
+            False, batch=(7,), L=5)
+        ref = sw_flux_solve(tau, w0, g, mu0, adir, adif, zinc,
+                            force_jnp=True)
+        out = sw_flux_solve(tau, w0, g, mu0, adir, adif, zinc,
+                            interpret=True)
+        scale = float(np.abs(np.asarray(ref[0])).max())
+        for a, b in zip(out, ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=1e-4 * scale)
