@@ -55,6 +55,10 @@ class RRTMConfig:
     # trace gases for the LW bands (rrtm_radiation.F90 has fixed defaults)
     n2ovmr: float = 3.2e-7
     ch4vmr: float = 1.8e-6
+    # radiation-grid cost controls (rrtm_radiation.F90:156-177):
+    lonstep: int = 1                # subsample fields along longitude
+    do_zm_rad: bool = False         # return only zonal-mean radiation
+    do_zm_tracers: bool = False     # feed zonal-mean q to radiation
     # LW scheme selection: "auto" = RRTMG-LW if its k-tables are installed,
     # else grey; "rrtmg" forces RRTMG-LW; "grey" forces the two-stream LW.
     lw_scheme: str = "auto"
@@ -64,8 +68,31 @@ class RRTMConfig:
     constants: Constants = EARTH
 
 
+def _lon_expand(a, k, zm=False):
+    """Map a lonstep-subsampled (lat, lon/k, ...) field back to the full
+    longitude grid: linear interpolation, toroidally closed
+    (rrtm_radiation.F90:947-968); with zm, the zonal mean of the subsampled
+    columns is broadcast instead (do_zm_rad)."""
+    if zm:
+        m = jnp.mean(a, axis=1, keepdims=True)
+        full = a.shape[:1] + (a.shape[1] * k,) + a.shape[2:]
+        return jnp.broadcast_to(m, full)
+    if k == 1:
+        return a
+    a1 = jnp.roll(a, -1, axis=1)
+    w = (jnp.arange(k, dtype=a.dtype) / k).reshape(
+        (1, 1, k) + (1,) * (a.ndim - 2))
+    out = a[:, :, None] * (1.0 - w) + a1[:, :, None] * w
+    return out.reshape(a.shape[:1] + (a.shape[1] * k,) + a.shape[2:])
+
+
 class RRTMRadiation:
-    """RRTMG-SW + (RRTMG-LW | grey-LW) radiation, TwoStreamGray interface."""
+    """RRTMG-SW + (RRTMG-LW | grey-LW) radiation, TwoStreamGray interface.
+
+    Supports the reference adapter's radiation-grid cost controls: `lonstep`
+    computes radiation every k-th longitude and linearly interpolates the
+    heating/fluxes back (k x cheaper); `do_zm_rad` returns the zonal mean;
+    `do_zm_tracers` feeds zonally averaged humidity to radiation."""
 
     def __init__(self, config: RRTMConfig = RRTMConfig()):
         self.config = config
@@ -103,10 +130,26 @@ class RRTMRadiation:
         coszen, frac, rr = astro.diurnal_solar(
             orbit, lat, lon, gmt, time_since_ae, dtr)
         coszen = coszen * frac      # mean cos over the averaging window
+        coszen_full = coszen
 
-        p_full = 0.5 * (p_half[..., :-1] + p_half[..., 1:])
         o3 = (self.o3_field if self.o3_field is not None
               else jnp.full_like(t, cfg.o3_mmr))
+        if cfg.do_zm_tracers:
+            q = jnp.broadcast_to(jnp.mean(q, axis=1, keepdims=True), q.shape)
+
+        # longitude subsampling (rrtm_radiation.F90 lonstep): radiation on
+        # every k-th longitude column, interpolated back after the solve
+        k = self._k = max(1, int(cfg.lonstep))
+        if k > 1:
+            if t.shape[1] % k:
+                raise ValueError(f"lonstep={k} must divide nlon={t.shape[1]}")
+            sub = lambda a: a[:, ::k]
+            lat, lon, p_half, t, q, albedo, coszen, o3 = map(
+                sub, (lat, lon, p_half, t, q, albedo, coszen, o3))
+            if cloud_fields is not None:
+                cloud_fields = tuple(map(sub, cloud_fields))
+
+        p_full = 0.5 * (p_half[..., :-1] + p_half[..., 1:])
         co2 = (carbon_conc * 1e-6 if carbon_conc is not None else None)
 
         cloud_kw = {}
@@ -159,31 +202,41 @@ class RRTMRadiation:
         sw_down = swf.swdflx * rr
         sw_up_internal = swf.swuflx * rr
         net_surf_sw_down = sw_down[..., -1] - sw_up_internal[..., -1]
-        # stored for up(); down/up are always called within one trace
+        # stored for up() at radiation (subsampled) resolution; down/up are
+        # always called within one trace
         self._sw_heat = swf.swhr * rr
         self._sw_up = sw_up_internal
+        ex = lambda a: _lon_expand(a, k, cfg.do_zm_rad)
         return RadDownResult(
-            net_surf_sw_down=net_surf_sw_down,
-            surf_lw_down=surf_lw_down,
-            lw_down=lw_down,
-            sw_down=sw_down,
-            coszen=coszen,
-            insolation=cfg.solr_cnst * coszen,
-            **grey_fields,
+            net_surf_sw_down=ex(net_surf_sw_down),
+            surf_lw_down=ex(surf_lw_down),
+            lw_down=ex(lw_down),
+            sw_down=ex(sw_down),
+            coszen=coszen_full,
+            insolation=cfg.solr_cnst * coszen_full,
+            **{name: ex(v) for name, v in grey_fields.items()},
         )
 
     def up(self, down: RadDownResult, p_half, t_surf, albedo) -> RadResult:
+        cfg = self.config
+        k = getattr(self, "_k", 1)
+        if k > 1:
+            sub = lambda a: a[:, ::k]
+            p_half, t_surf, albedo = map(sub, (p_half, t_surf, albedo))
+        ex = lambda a: _lon_expand(a, k, cfg.do_zm_rad)
         if self.lw_rrtmg is not None:
             lwf = self.lw_rrtmg.up_phase(self._lw_stash, t_surf)
             tdt_rad = lwf.hr + self._sw_heat
             net_lw_surf = lwf.uflx[..., -1] - lwf.lw_dn_surf
             return RadResult(
-                tdt_rad=tdt_rad, tdt_solar=self._sw_heat, olr=lwf.olr,
-                lw_up=lwf.uflx, sw_up=self._sw_up, net_lw_surf=net_lw_surf)
+                tdt_rad=ex(tdt_rad), tdt_solar=ex(self._sw_heat),
+                olr=ex(lwf.olr), lw_up=ex(lwf.uflx), sw_up=ex(self._sw_up),
+                net_lw_surf=ex(net_lw_surf))
         lw = self.grey.up(self._grey_down, p_half, t_surf, albedo)
         # grey up() includes its own (zero-insolation) SW; add RRTMG SW heating
         tdt_rad = lw.tdt_rad + self._sw_heat
         return RadResult(
-            tdt_rad=tdt_rad, tdt_solar=self._sw_heat, olr=lw.olr,
-            lw_up=lw.lw_up, sw_up=self._sw_up, net_lw_surf=lw.net_lw_surf,
+            tdt_rad=ex(tdt_rad), tdt_solar=ex(self._sw_heat), olr=ex(lw.olr),
+            lw_up=ex(lw.lw_up), sw_up=ex(self._sw_up),
+            net_lw_surf=ex(lw.net_lw_surf),
         )

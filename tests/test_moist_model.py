@@ -133,3 +133,56 @@ class TestDtRadSubstepping:
         assert 1 in ages and max(ages) == 4
         tg = np.asarray(s.dyn.tg.curr)
         assert np.isfinite(tg).all()
+
+
+class TestRadiationLonstep:
+    """rrtm_radiation_nml lonstep / do_zm_rad / do_zm_tracers parity."""
+
+    def _build(self, **rad_kw):
+        import dataclasses
+        from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+        from isca_tpu.physics.rrtm_radiation import RRTMConfig
+        cfg = GreyMoistConfig()
+        cfg = dataclasses.replace(
+            cfg,
+            core=dataclasses.replace(cfg.core, resolution="T21",
+                                     num_levels=12),
+            physics=dataclasses.replace(
+                cfg.physics, radiation_scheme="rrtm",
+                rrtm=RRTMConfig(use_time_average_coszen=True, **rad_kw)))
+        return GreyMoistModel(cfg)
+
+    def test_lon_expand_linear_toroidal(self):
+        from isca_tpu.physics.rrtm_radiation import _lon_expand
+        a = jnp.asarray(np.arange(8.0).reshape(2, 4))   # (lat=2, lon=4)
+        out = np.asarray(_lon_expand(a, 2))
+        assert out.shape == (2, 8)
+        # positions 2*i are the subsampled values exactly
+        np.testing.assert_allclose(out[:, ::2], np.asarray(a))
+        # midpoints are averages; last midpoint wraps toroidally
+        np.testing.assert_allclose(out[0, 1], 0.5)
+        np.testing.assert_allclose(out[0, 7], 0.5 * (3.0 + 0.0))
+
+    def test_lonstep_close_to_full_and_cheap_shapes(self):
+        m1 = self._build()
+        m2 = self._build(lonstep=2)
+        s1, s2 = m1.initial_state(), m2.initial_state()
+        s1 = m1.step(s1, first=True)
+        s2 = m2.step(s2, first=True)
+        t1 = np.asarray(s1.dyn.tg.curr)
+        t2 = np.asarray(s2.dyn.tg.curr)
+        assert t2.shape == t1.shape and np.isfinite(t2).all()
+        # zonally quasi-uniform initial state: the subsampled radiation
+        # reproduces the full computation closely after one step
+        np.testing.assert_allclose(t2, t1, rtol=0, atol=0.05)
+
+    def test_zm_rad_is_zonally_uniform_heating(self):
+        m = self._build(do_zm_rad=True, do_zm_tracers=True)
+        s = m.initial_state()
+        s, diag = m.step_with_diagnostics(s, first=True)
+        tdt = np.asarray(diag["tdt_rad"])      # (lat, lon, L) level-last
+        assert np.isfinite(tdt).all()
+        # radiative heating is zonally constant under do_zm_rad
+        spread = np.ptp(tdt, axis=1).max()
+        scale = np.abs(tdt).max()
+        assert spread <= 1e-6 * max(scale, 1e-30), (spread, scale)
