@@ -162,3 +162,36 @@ class TestRealInputFiles:
         np.testing.assert_allclose(o3, o3_jul, rtol=1e-6)
         o3_wrap = np.asarray(pts.at(359.9 * 86400.0, p_full))
         np.testing.assert_allclose(o3, o3_wrap, rtol=1e-5)
+
+
+class TestConservativeRegrid:
+    def test_preserves_global_mean_and_stats(self, tmp_path):
+        from isca_tpu.utils.input_files import (regrid_conservative,
+                                                topog_stats)
+        rng = np.random.default_rng(1)
+        lat_in = np.linspace(-89.75, 89.75, 360)
+        lon_in = np.arange(0.25, 360.0, 0.5)
+        z = 1000.0 * rng.random((360, 720)) + \
+            2000.0 * np.cos(np.radians(lat_in))[:, None]
+        lat_out = np.linspace(-87.0, 87.0, 32)
+        lon_out = np.arange(0.0, 360.0, 360.0 / 64)
+        mean, std = regrid_conservative(lat_in, lon_in, z, lat_out, lon_out)
+        w_in = np.cos(np.radians(lat_in))[:, None] * np.ones((1, 720))
+        w_out = np.cos(np.radians(lat_out))[:, None] * np.ones((1, 64))
+        gm_in = (z * w_in).sum() / w_in.sum()
+        gm_out = (mean * w_out).sum() / w_out.sum()
+        # first-order conservative: area-weighted mean preserved
+        assert abs(gm_in - gm_out) < 0.01 * abs(gm_in)
+        # sub-grid stdev is positive where the fine field varies
+        assert std.min() >= 0.0 and std.mean() > 100.0
+
+    def test_constant_field_exact_with_zero_stdev(self):
+        from isca_tpu.utils.input_files import regrid_conservative
+        lat_in = np.linspace(-89.0, 89.0, 180)
+        lon_in = np.arange(0.0, 360.0, 1.0)
+        z = np.full((180, 360), 7.25)
+        mean, std = regrid_conservative(lat_in, lon_in, z,
+                                        np.linspace(-80, 80, 16),
+                                        np.arange(0, 360, 22.5))
+        np.testing.assert_allclose(mean, 7.25, rtol=1e-12)
+        np.testing.assert_allclose(std, 0.0, atol=1e-6)
