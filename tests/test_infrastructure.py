@@ -227,3 +227,26 @@ class TestChksum:
         assert chksum(z) == chksum(z.copy())
         z2 = z.copy(); z2[3] += 1e-12
         assert chksum(z) != chksum(z2)
+
+
+class TestRestartResolutionChange:
+    def test_t21_restart_continues_at_t42(self):
+        """scripts/change_horizontal_resolution_of_restart_file parity:
+        spin up at T21, convert the restart to T42, continue stably."""
+        from isca_tpu.io.restart import change_resolution
+        mk = lambda res: HeldSuarezModel(HeldSuarezConfig(
+            core=PrimitiveConfig(resolution=res, num_levels=8, dt=1200.0,
+                                 dtype=jnp.float64)))
+        m21, m42 = mk("T21"), mk("T42")
+        s21 = jax.jit(lambda s: m21.run(s, 144))(m21.initial_state())
+        s42 = change_resolution(s21, m21.core.T, m42.core.T,
+                                m42.initial_state())
+        # large-scale state preserved: global-mean ps and T
+        import isca_tpu.spectral.transforms as tr
+        ps21 = float(tr.area_weighted_mean(m21.core.T, s21.psg.curr))
+        ps42 = float(tr.area_weighted_mean(m42.core.T, s42.psg.curr))
+        assert abs(ps21 - ps42) < 1e-3 * ps21
+        # continues stably at the new resolution
+        s42b = jax.jit(lambda s: m42.run(s, 24, first=False))(s42)
+        tg = np.asarray(s42b.tg.curr)
+        assert np.isfinite(tg).all() and 150 < tg.min() < tg.max() < 350
