@@ -100,6 +100,7 @@ class MoistPhysicsConfig:
     cloud: CloudSimpleConfig = CloudSimpleConfig()
     spookie: "CloudSpookieConfig" = None     # type: ignore[assignment]
     rrtm: "RRTMConfig | None" = None       # used when radiation_scheme="rrtm"
+    socrates: "SocratesConfig | None" = None   # radiation_scheme="socrates"
     constants: Constants = EARTH
 
 
@@ -149,6 +150,11 @@ class MoistPhysics:
         if config.radiation_scheme.lower() == "rrtm":
             from isca_tpu.physics.rrtm_radiation import RRTMConfig, RRTMRadiation
             self.radiation = RRTMRadiation(config.rrtm or RRTMConfig())
+        elif config.radiation_scheme.lower() == "socrates":
+            from isca_tpu.physics.socrates import (SocratesConfig,
+                                                   SocratesRadiation)
+            self.radiation = SocratesRadiation(
+                config.socrates or SocratesConfig())
         else:
             self.radiation = TwoStreamGray(config.radiation)
         self.cloud = CloudSimple(config.cloud, self.svp) if config.do_cloud_simple else None
@@ -285,8 +291,9 @@ class MoistPhysics:
                 time_seconds, p_full_curr)
         rad_kw = {}
         if ((self.cloud is not None or cfg.do_cloud_spookie)
-                and cfg.radiation_scheme.lower() == "rrtm"):
-            # SimCloud -> RRTMG-SW cloud optics (beyond-reference coupling)
+                and cfg.radiation_scheme.lower() in ("rrtm", "socrates")):
+            # SimCloud -> RRTMG-SW / SOCRATES cloud optics (set_cld staging;
+            # for RRTM a coupling the reference leaves commented out)
             rad_kw["cloud_fields"] = (clouds.cf, clouds.reff_rad,
                                       clouds.qcl_rad, clouds.frac_liq)
 

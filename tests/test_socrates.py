@@ -1,0 +1,260 @@
+"""SOCRATES radiation scheme tests.
+
+Covers: spectral-file writer/reader round trip (Met Office block format),
+ESFT gas optics sanity, Planck polynomial accuracy, LW down/up solver
+physics (isothermal blackbody limit, OLR bounds), SW energetics, cloud
+optics, and the full scheme through the MoistPhysics driver interface
+(reference seam: socrates_interface.F90:871-1507).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from isca_tpu.physics.socrates import (
+    STEFAN, SocratesConfig, SocratesGasOptics, SocratesRadiation,
+    lw_down_solve, lw_up_solve, planck_bands,
+)
+from isca_tpu.physics.socrates_spectral import (
+    IP_CO2, IP_H2O, IP_O3, band_planck_flux, read_spectral_file,
+    synthetic_lw_spectrum, synthetic_sw_spectrum, write_spectral_file,
+)
+
+
+# ---------------------------------------------------------------------------
+# Spectral files
+# ---------------------------------------------------------------------------
+
+def test_spectral_file_roundtrip(tmp_path):
+    for synth in (synthetic_sw_spectrum(), synthetic_lw_spectrum()):
+        p = tmp_path / f"sp_{'sw' if synth.is_sw else 'lw'}"
+        write_spectral_file(synth, p)
+        back = read_spectral_file(p)
+        assert back.n_band == synth.n_band
+        assert back.absorbers == synth.absorbers
+        np.testing.assert_allclose(back.wl_short, synth.wl_short, rtol=1e-8)
+        np.testing.assert_allclose(back.wl_long, synth.wl_long, rtol=1e-8)
+        assert back.band_gases == synth.band_gases
+        assert set(back.esft) == set(synth.esft)
+        for key, fit in synth.esft.items():
+            np.testing.assert_allclose(back.esft[key].k, fit.k, rtol=1e-8)
+            np.testing.assert_allclose(back.esft[key].w, fit.w, rtol=1e-8)
+            assert back.esft[key].scale_fnc == fit.scale_fnc
+        if synth.is_sw:
+            np.testing.assert_allclose(back.solar_frac, synth.solar_frac,
+                                       rtol=1e-8)
+            np.testing.assert_allclose(back.rayleigh, synth.rayleigh,
+                                       rtol=1e-8)
+        else:
+            np.testing.assert_allclose(back.planck, synth.planck, rtol=1e-7)
+            assert set(back.continuum) == set(synth.continuum)
+        np.testing.assert_allclose(back.drop_coeffs, synth.drop_coeffs,
+                                   rtol=1e-8)
+        np.testing.assert_allclose(back.ice_coeffs, synth.ice_coeffs,
+                                   rtol=1e-8)
+
+
+def test_solar_fractions_and_planck_sane():
+    sw = synthetic_sw_spectrum()
+    assert abs(sw.solar_frac.sum() - 1.0) < 1e-12
+    lw = synthetic_lw_spectrum()
+    # band-summed Planck polynomial ~ sigma T^4 over the covered range
+    for T in (200.0, 255.0, 300.0):
+        tot = float(np.sum(planck_bands(lw.planck, lw.t_ref_planck,
+                                        jnp.float32(T), jnp.float32)))
+        exact = sum(band_planck_flux(lw.wl_short[b], lw.wl_long[b], T)
+                    for b in range(lw.n_band))
+        assert abs(tot - exact) / exact < 0.01
+        # the 9 bands cover most of sigma T^4
+        assert 0.8 * STEFAN * T**4 < tot < 1.02 * STEFAN * T**4
+
+
+# ---------------------------------------------------------------------------
+# Gas optics
+# ---------------------------------------------------------------------------
+
+def _column(L=20):
+    p_half = jnp.linspace(1.0, 1.0e5, L + 1)
+    p_full = 0.5 * (p_half[1:] + p_half[:-1])
+    t = 220.0 + 70.0 * (p_full / p_full[-1]) ** 0.6
+    q = 0.018 * (p_full / p_full[-1]) ** 3
+    return p_half, p_full, t, q
+
+
+def test_gas_optics_monotone_in_absorber():
+    spec = synthetic_lw_spectrum()
+    go = SocratesGasOptics(spec)
+    p_half, p_full, t, q = _column()
+    d_mass = (p_half[1:] - p_half[:-1]) / 9.8
+    lo = go(p_full, t, d_mass, {IP_H2O: q, IP_CO2: 4.6e-4})
+    hi = go(p_full, t, d_mass, {IP_H2O: 2 * q, IP_CO2: 9.2e-4})
+    assert lo.tau_abs.shape == (20, go.n_g)
+    assert bool(jnp.all(hi.tau_abs >= lo.tau_abs))
+    assert bool(jnp.all(lo.tau_abs >= 0))
+    # zero absorber, zero tau (continuum needs H2O too)
+    z = go(p_full, t, d_mass, {})
+    assert float(jnp.max(z.tau_abs)) == 0.0
+
+
+def test_gas_optics_esft_weights_cover_band():
+    go = SocratesGasOptics(synthetic_sw_spectrum())
+    w = np.zeros(go.n_band)
+    np.add.at(w, np.asarray(go.band_of_g), np.asarray(go.w_g))
+    np.testing.assert_allclose(w, 1.0, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# LW solver physics
+# ---------------------------------------------------------------------------
+
+def test_lw_isothermal_blackbody_limit():
+    """A very opaque isothermal atmosphere radiates sigma T^4 both ways."""
+    L, T0 = 30, 260.0
+    spec = synthetic_lw_spectrum()
+    G = len([1])  # one g-point per band suffices
+    nb = spec.n_band
+    blay_b = planck_bands(spec.planck, spec.t_ref_planck,
+                          jnp.full((L,), T0), jnp.float32)
+    blev_b = planck_bands(spec.planck, spec.t_ref_planck,
+                          jnp.full((L + 1,), T0), jnp.float32)
+    tau = jnp.full((L, nb), 50.0)          # opaque everywhere
+    w_g = jnp.ones((nb,))
+    down = lw_down_solve(tau, None, None, blay_b, blev_b, w_g)
+    sfc_down = float(down.dflx[-1])
+    btot = float(jnp.sum(blay_b[0]))
+    assert abs(sfc_down - btot) / btot < 1e-4
+    uflx, olr = lw_up_solve(down, blev_b[-1], 1.0)
+    assert abs(float(olr) - btot) / btot < 1e-4
+    # transparent limit: down flux ~ 0, OLR = surface emission
+    down0 = lw_down_solve(jnp.zeros_like(tau), None, None, blay_b, blev_b,
+                          w_g)
+    assert float(down0.dflx[-1]) < 1e-3
+    _, olr0 = lw_up_solve(down0, blev_b[-1], 1.0)
+    assert abs(float(olr0) - btot) / btot < 1e-5
+
+
+def test_lw_greenhouse_reduces_olr():
+    rad = SocratesRadiation(SocratesConfig(frierson_solar_rad=True))
+    p_half, p_full, t, q = _column()
+    lat = jnp.asarray(0.5)
+    lon = jnp.asarray(0.0)
+    t_surf = t[-1] + 8.0
+    alb = jnp.asarray(0.3)
+    lo = rad.down(lat, lon, p_half, t, q, alb)
+    r_lo = rad.up(lo, p_half, t_surf, alb)
+    rad2 = SocratesRadiation(SocratesConfig(frierson_solar_rad=True,
+                                            co2_ppmv=1200.0))
+    hi = rad2.down(lat, lon, p_half, t, q, alb)
+    r_hi = rad2.up(hi, p_half, t_surf, alb)
+    assert float(r_hi.olr) < float(r_lo.olr)
+    sigT4 = STEFAN * float(t_surf) ** 4
+    assert 0.4 * sigT4 < float(r_lo.olr) < 1.02 * sigT4
+    # greenhouse: surface LW down increases with CO2
+    assert float(hi.surf_lw_down) > float(lo.surf_lw_down)
+
+
+# ---------------------------------------------------------------------------
+# SW energetics
+# ---------------------------------------------------------------------------
+
+def test_sw_energy_budget():
+    rad = SocratesRadiation(SocratesConfig(frierson_solar_rad=True,
+                                           del_sol=0.0, del_sw=0.0))
+    p_half, p_full, t, q = _column()
+    lat = jnp.asarray(0.0)
+    alb = jnp.asarray(0.25)
+    d = rad.down(lat, jnp.asarray(0.0), p_half, t, q, alb)
+    # frierson del_sol=0: coszen = 0.25 everywhere
+    toa_in = rad.config.stellar_constant * 0.25
+    toa_net = float(d.sw_down[0] - rad._sw_up[0])
+    assert 0 < toa_net <= toa_in + 1e-3
+    # column absorption + net surface = TOA net
+    dp = p_half[1:] - p_half[:-1]
+    absorbed = float(jnp.sum(rad._sw_heat * dp * 1004.64 / 9.80))
+    assert abs(absorbed + float(d.net_surf_sw_down) - toa_net) < 2e-2 * toa_in
+    # night: all SW fluxes zero
+    dn = rad.down(jnp.asarray(1.4), jnp.asarray(jnp.pi), p_half, t, q, alb)
+    cfg2 = SocratesConfig()
+    radn = SocratesRadiation(cfg2)
+    dnight = radn.down(jnp.asarray(-1.2), jnp.asarray(jnp.pi), p_half, t, q,
+                       alb, gmt=0.0, time_since_ae=0.0, dt_rad_avg=None)
+    assert float(jnp.max(dnight.sw_down)) <= toa_in * 4
+
+
+def test_clouds_brighten_and_warm():
+    """Clouds raise SW reflection (lower net surf SW) and surf LW down."""
+    cfg = SocratesConfig(frierson_solar_rad=True)
+    rad = SocratesRadiation(cfg)
+    p_half, p_full, t, q = _column()
+    lat, lon, alb = jnp.asarray(0.3), jnp.asarray(0.0), jnp.asarray(0.1)
+    t_surf = t[-1]
+    clear = rad.down(lat, lon, p_half, t, q, alb)
+    rc = rad.up(clear, p_half, t_surf, alb)
+    cf = jnp.where((p_full > 6e4) & (p_full < 9e4), 0.9, 0.0)
+    reff = jnp.full_like(p_full, 12.0)
+    qcl = jnp.where(cf > 0, 2.0e-4, 0.0)
+    fliq = jnp.ones_like(p_full)
+    rad2 = SocratesRadiation(cfg)
+    cld = rad2.down(lat, lon, p_half, t, q, alb,
+                    cloud_fields=(cf, reff, qcl, fliq))
+    r2 = rad2.up(cld, p_half, t_surf, alb)
+    assert float(cld.net_surf_sw_down) < float(clear.net_surf_sw_down)
+    assert float(cld.surf_lw_down) > float(clear.surf_lw_down)
+    assert float(r2.olr) < float(rc.olr)
+
+
+# ---------------------------------------------------------------------------
+# Driver integration + jit
+# ---------------------------------------------------------------------------
+
+def _build_model(**soc_kw):
+    import dataclasses
+
+    from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+    cfg = GreyMoistConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        core=dataclasses.replace(cfg.core, resolution="T21", num_levels=12),
+        physics=dataclasses.replace(
+            cfg.physics, radiation_scheme="socrates",
+            socrates=SocratesConfig(**soc_kw)))
+    return GreyMoistModel(cfg)
+
+
+def test_socrates_aquaplanet_runs():
+    """socrates_aquaplanet test-case analogue (exp/test_cases/socrates_test):
+    grey-moist model with SOCRATES radiation steps stably."""
+    m = _build_model()
+    s = m.step(m.initial_state(), first=True)
+    for _ in range(5):
+        s = m.step(s)
+    tg = np.asarray(s.dyn.tg.curr)
+    assert np.isfinite(tg).all()
+    assert 150.0 < tg.min() and tg.max() < 350.0
+    olr = np.asarray(s.rad_cache.olr)
+    assert np.isfinite(olr).all() and 30.0 < olr.mean() < 400.0
+
+
+def test_socrates_aquaplanet_with_clouds():
+    """socrates_aquaplanet_with_cloud analogue: SimCloud feeds set_cld."""
+    import dataclasses
+
+    from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+    cfg = GreyMoistConfig()
+    cfg = dataclasses.replace(
+        cfg,
+        core=dataclasses.replace(cfg.core, resolution="T21", num_levels=12),
+        physics=dataclasses.replace(
+            cfg.physics, radiation_scheme="socrates",
+            socrates=SocratesConfig(), do_cloud_simple=True))
+    m = GreyMoistModel(cfg)
+    s = m.step(m.initial_state(), first=True)
+    s = m.step(s)
+    assert np.isfinite(np.asarray(s.dyn.tg.curr)).all()
+
+
+def test_socrates_interface_reexport():
+    from isca_tpu.physics.socrates_interface import (SocratesConfig as C2,
+                                                     SocratesRadiation as R2)
+    assert C2 is SocratesConfig and R2 is SocratesRadiation
