@@ -216,6 +216,16 @@ class PrimitiveCore:
         dp = self.dpk[:, None, None] + self.dbk[:, None, None] * ps
         return tr.area_weighted_mean(self.T, jnp.sum(field * dp, axis=0)) / self.C.grav
 
+    def validity(self, state: "PrimitiveState"):
+        """valid_range_t temperature guard (spectral_dynamics.F90:940-971).
+
+        Pure + jittable; on a sharded mesh the reductions are the
+        graceful-shutdown consensus (P8) — XLA all-reduces replace the
+        reference's root-gather/broadcast of per-PE validity flags."""
+        from isca_tpu.utils.validity import check_range
+        lo, hi = self.config.valid_range_t
+        return check_range(state.tg.curr, lo, hi)
+
     # ------------------------------------------------------------------
     def cold_start(self, surf_geopotential=None) -> PrimitiveState:
         """Isothermal state of rest with tiny vorticity seeds (A.10)."""

@@ -148,6 +148,11 @@ class Experiment(EventEmitter):
         if self.json_logging and hasattr(model, "diagnostics"):
             jlog = open(os.path.join(rundir, "steps.jsonl"), "w")
 
+        # valid-range guard (spectral_dynamics.F90:940-1005): checked once
+        # per chunk AFTER diagnostics are flushed, so partial output survives
+        # the abort — the reference's graceful_shutdown contract.
+        vfn = jax.jit(model.validity) if hasattr(model, "validity") else None
+
         self.emit("run:ready", self, i)
         t0 = _time.time()
         seconds_done = 0.0
@@ -161,6 +166,17 @@ class Experiment(EventEmitter):
                 if dm is not None:
                     jax.block_until_ready(state)
                     diag_state = dm.flush(diag_state, time_days, segment_label="")
+                if vfn is not None:
+                    rep = vfn(state)
+                    if not bool(rep.ok):
+                        from isca_tpu.utils.validity import describe_violation
+                        lo, hi = model.validity_range
+                        msg = describe_violation(
+                            model.validity_name, rep, lo, hi,
+                            lats=getattr(T, "lats", None),
+                            lons=getattr(T, "lons", None))
+                        raise FailedRunError(
+                            f"segment {i} at day {time_days:.2f}: {msg}")
                 if jlog is not None:
                     scalars = {
                         k: float(v)

@@ -114,6 +114,18 @@ class BarotropicModel:
         self.coriolis = tr.coriolis_grid(self.T, c.omega)
 
     # ------------------------------------------------------------------
+    # valid_range_v wind guard (P8 graceful-shutdown analogue)
+    validity_name = "wind component (0=u, 1=v)"
+
+    @property
+    def validity_range(self):
+        return self.config.valid_range_v
+
+    def validity(self, state: "BarotropicState"):
+        from isca_tpu.utils.validity import check_range
+        lo, hi = self.config.valid_range_v
+        return check_range(jnp.stack([state.u.curr, state.v.curr]), lo, hi)
+
     def initial_state(self, seed: int = 0) -> BarotropicState:
         c, T = self.config, self.T
         if c.initial_zonal_wind == "two_jets":

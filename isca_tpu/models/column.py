@@ -39,6 +39,7 @@ class ColumnConfig:
     initial_sphum: float = 2.0e-6
     t_surf_init: float = 285.0
     ps: float = 1.0e5
+    valid_range_t: tuple = (100.0, 500.0)
     physics: MoistPhysicsConfig = MoistPhysicsConfig()
     constants: Constants = EARTH
     dtype: Any = jnp.float32
@@ -79,6 +80,18 @@ class ColumnModel:
         ph, lph, pf, lpf = pgm.pressure_variables(jnp, self.pk, self.bk, ps, self.top_is_zero)
         self.p_half, self.p_full = ph, pf
         self.ln_p_half, self.ln_p_full = lph, lpf
+
+    # valid_range_t guard (column variant; level-last layout)
+    validity_name = "temperature"
+
+    @property
+    def validity_range(self):
+        return self.config.valid_range_t
+
+    def validity(self, state: "ColumnState"):
+        from isca_tpu.utils.validity import check_range
+        lo, hi = self.config.valid_range_t
+        return check_range(state.t.curr, lo, hi)
 
     def initial_state(self) -> ColumnState:
         c = self.config

@@ -39,6 +39,16 @@ class HeldSuarezModel:
     def initial_state(self) -> PrimitiveState:
         return self.core.cold_start(self.surf_geopotential)
 
+    # valid_range_t guard (spectral_dynamics.F90:940-1005)
+    validity_name = "temperature"
+
+    @property
+    def validity_range(self):
+        return self.config.core.valid_range_t
+
+    def validity(self, state: PrimitiveState):
+        return self.core.validity(state)
+
     def step(self, state: PrimitiveState, first: bool = False) -> PrimitiveState:
         # pressures at `current`, prognostic fields at `previous` (reference order)
         _, _, p_full, _ = self.core.pressure_variables(state.psg.curr)

@@ -94,6 +94,16 @@ class GreyMoistModel:
                 jnp.asarray(surf_geopotential, self.config.core.dtype) * self.core.C.grav
             )
 
+    # valid_range_t guard (spectral_dynamics.F90:940-1005)
+    validity_name = "temperature"
+
+    @property
+    def validity_range(self):
+        return self.config.core.valid_range_t
+
+    def validity(self, state: "GreyMoistState"):
+        return self.core.validity(state.dyn)
+
     # ------------------------------------------------------------------
     def initial_state(self) -> GreyMoistState:
         c = self.config

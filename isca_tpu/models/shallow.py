@@ -162,6 +162,18 @@ class ShallowModel:
         self.kappa_t = 1.0 / tt if tt != 0.0 else 0.0
 
     # ------------------------------------------------------------------
+    # valid_range_v wind guard (P8 graceful-shutdown analogue)
+    validity_name = "wind component (0=u, 1=v)"
+
+    @property
+    def validity_range(self):
+        return self.config.valid_range_v
+
+    def validity(self, state: "ShallowState"):
+        from isca_tpu.utils.validity import check_range
+        lo, hi = self.config.valid_range_v
+        return check_range(jnp.stack([state.u.curr, state.v.curr]), lo, hi)
+
     def initial_state(self, seed: int = 0) -> ShallowState:
         c, T = self.config, self.T
         lat = np.asarray(T.lats, dtype=np.float64)

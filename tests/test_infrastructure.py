@@ -250,3 +250,61 @@ class TestRestartResolutionChange:
         s42b = jax.jit(lambda s: m42.run(s, 24, first=False))(s42)
         tg = np.asarray(s42b.tg.curr)
         assert np.isfinite(tg).all() and 150 < tg.min() < tg.max() < 350
+
+
+class TestValidityGuard:
+    """valid_range_t guard + graceful shutdown (spectral_dynamics.F90:940-1005)."""
+
+    def test_check_range_locates_extrema(self):
+        from isca_tpu.utils.validity import check_range, describe_violation
+        f = np.full((4, 5, 6), 250.0)
+        f[2, 3, 1] = 90.0      # below range
+        f[1, 0, 5] = 510.0     # above range
+        rep = jax.jit(lambda x: check_range(x, 100.0, 500.0))(jnp.asarray(f))
+        assert not bool(rep.ok)
+        assert float(rep.vmin) == 90.0 and float(rep.vmax) == 510.0
+        assert tuple(np.asarray(rep.min_idx)) == (2, 3, 1)
+        assert tuple(np.asarray(rep.max_idx)) == (1, 0, 5)
+        lats = np.deg2rad(np.linspace(-60, 60, 5))
+        lons = np.deg2rad(np.linspace(0, 300, 6))
+        msg = describe_violation("temperature", rep, 100.0, 500.0,
+                                 lats=lats, lons=lons)
+        assert "90.000" in msg and "510.000" in msg
+        assert "level 2" in msg and "lat 30.00" in msg
+
+        ok = jax.jit(lambda x: check_range(x, 100.0, 500.0))(
+            jnp.full((3, 3), 250.0))
+        assert bool(ok.ok)
+
+    def test_model_validity_methods(self):
+        model = HeldSuarezModel(HeldSuarezConfig(core=PrimitiveConfig(
+            resolution="T21", num_levels=8, dt=1800.0, dtype=jnp.float64)))
+        s = model.initial_state()
+        assert bool(model.validity(s).ok)     # isothermal 264 K is valid
+        assert model.validity_range == (100.0, 500.0)
+
+    def test_experiment_aborts_with_located_extremum(self, tmp_path):
+        """A run whose temperature leaves valid_range_t fails with the
+        reference's located-extremum message, after flushing diagnostics."""
+        import dataclasses
+        import pytest
+        from isca_tpu.utils.events import FailedRunError
+
+        core = PrimitiveConfig(resolution="T21", num_levels=8, dt=1800.0,
+                               dtype=jnp.float64,
+                               valid_range_t=(263.9, 264.1))  # absurdly tight
+        model = HeldSuarezModel(HeldSuarezConfig(core=core))
+        dt = DiagTable().add_file("atmos_daily", 86400)
+        dt.add_field("atmos_daily", "dynamics", "temp", time_avg=True)
+        exp = Experiment("bad_run", model, dt, datadir=str(tmp_path))
+        events = []
+        exp.on("run:failed", lambda *a: events.append("failed"))
+        with pytest.raises(FailedRunError) as ei:
+            exp.run(1, days=2)
+        assert "temperature out of valid range" in str(ei.value)
+        assert "lat" in str(ei.value)
+        assert events == ["failed"]
+        # diagnostics flushed before the abort: partial output survives
+        path = os.path.join(str(tmp_path), "bad_run", "run0001",
+                            "atmos_daily.nc")
+        assert os.path.exists(path)
