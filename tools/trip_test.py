@@ -9,12 +9,12 @@ T21 (float64, CPU), and compact statistics of every prognostic/diagnostic
 field (mean / std / min / max + four probe values) are compared against the
 goldens in tests/goldens/trip_goldens.json at tight tolerances.
 
-Covered matrix (trip_test_functions.py:151-172 minus the two SOCRATES
-configs, whose radiance core is external source in the reference too):
+Covered matrix (the full trip_test_functions.py:151-172 set):
 held_suarez, axisymmetric, frierson, bucket_model, top_down_test,
 giant_planet, mima (RRTM seasonal aquaplanet), variable_co2_grey,
 variable_co2_rrtm, ape_aquaplanet, realistic_continents_fixed_sst,
 realistic_continents_variable_qflux, simple_clouds,
+socrates_aquaplanet, socrates_aquaplanet_with_cloud,
 barotropic_vort_eq_stirring, shallow_water_stirring.
 
 Usage:
@@ -162,6 +162,19 @@ def build_simple_clouds():
     return _moist(phys_kw=dict(do_cloud_simple=True))
 
 
+def build_socrates_aquaplanet():
+    from isca_tpu.physics.socrates import SocratesConfig
+    return _moist(phys_kw=dict(radiation_scheme="socrates",
+                               socrates=SocratesConfig()))
+
+
+def build_socrates_aquaplanet_with_cloud():
+    from isca_tpu.physics.socrates import SocratesConfig
+    return _moist(phys_kw=dict(radiation_scheme="socrates",
+                               socrates=SocratesConfig(),
+                               do_cloud_simple=True))
+
+
 def build_barotropic_vort_eq_stirring():
     from isca_tpu.models.barotropic import BarotropicConfig, BarotropicModel
     cfg = BarotropicConfig(
@@ -193,6 +206,8 @@ CONFIGS = {
     "realistic_continents_variable_qflux":
         build_realistic_continents_variable_qflux,
     "simple_clouds": build_simple_clouds,
+    "socrates_aquaplanet": build_socrates_aquaplanet,
+    "socrates_aquaplanet_with_cloud": build_socrates_aquaplanet_with_cloud,
     "barotropic_vort_eq_stirring": build_barotropic_vort_eq_stirring,
     "shallow_water_stirring": build_shallow_water_stirring,
 }
