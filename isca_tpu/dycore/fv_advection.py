@@ -128,7 +128,8 @@ def _gather_x_multi(arrs, idx):
     onehot = (idx[..., :, None] == jax.lax.broadcasted_iota(
         jnp.int32, idx.shape + (nx,), idx.ndim)).astype(arrs[0].dtype)
     stacked = jnp.stack(arrs, axis=-1)               # (..., nx, C)
-    out = jnp.einsum("...xy,...yc->...xc", onehot, stacked)
+    out = jnp.einsum("...xy,...yc->...xc", onehot, stacked,
+                     precision=jax.lax.Precision.HIGHEST)
     return [out[..., i] for i in range(len(arrs))]
 
 

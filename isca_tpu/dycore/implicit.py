@@ -32,18 +32,24 @@ import numpy as np
 from isca_tpu.dycore.press_geopot import pressure_variables
 from isca_tpu.dycore.time_integration import TwoLevel
 
+# semi-implicit solve must not run in bf16 on the MXU: the wave-matrix solve
+# feeds back into the prognostic divergence every step
+PREC = jax.lax.Precision.HIGHEST
 
-def _linear_tp_tendency_matrices(pk, bk, t_ref, ps_ref, kappa, top_is_zero):
+
+def _linear_tp_tendency_matrices(pk, bk, t_ref, ps_ref, kappa, top_is_zero,
+                                 option="simmons_and_burridge"):
     """Matrices (nu, DT) of the linearized continuity/thermodynamic response.
 
-    dt_ps = -nu . div ;  dt_T = DT @ div   (implicit.F90 linear_tp_tendency).
+    dt_ps = -nu . div ;  dt_T = DT @ div   (implicit.F90 linear_tp_tendency,
+    :434-457 for the simmons_and_burridge / mcm energy-conversion branches).
     """
     L = len(t_ref)
     dpk = np.diff(pk)
     dbk = np.diff(bk)
     dp = dpk + dbk * ps_ref
-    _, ln_p_half, _, ln_p_full = pressure_variables(
-        np, pk, bk, np.float64(ps_ref), top_is_zero
+    _, ln_p_half, p_full_ref, ln_p_full = pressure_variables(
+        np, pk, bk, np.float64(ps_ref), top_is_zero, option=option
     )
     dlog_1 = ln_p_half[1:] - ln_p_full          # (L,)
     dlog_3 = ln_p_half[1:] - ln_p_half[:-1]
@@ -55,7 +61,11 @@ def _linear_tp_tendency_matrices(pk, bk, t_ref, ps_ref, kappa, top_is_zero):
         div[kk] = 1.0
         dmean = div * dp
         dmean_tot_before = np.concatenate([[0.0], np.cumsum(dmean)[:-1]])
-        DT[:, kk] = -kappa * t_ref * (dmean_tot_before * dlog_3 + dmean * dlog_1) / dp
+        if option == "mcm":
+            DT[:, kk] = -(kappa * t_ref / p_full_ref) * (
+                dmean_tot_before + 0.5 * dmean)
+        else:
+            DT[:, kk] = -kappa * t_ref * (dmean_tot_before * dlog_3 + dmean * dlog_1) / dp
         # hybrid vertical mass flux at half levels (L+1,)
         dmean_tot = np.cumsum(dmean)
         wv = np.zeros(L + 1)
@@ -71,11 +81,12 @@ def _linear_tp_tendency_matrices(pk, bk, t_ref, ps_ref, kappa, top_is_zero):
     return nu, DT
 
 
-def _linear_geopotential_matrix(pk, bk, t_ref, ps_ref, rdgas, top_is_zero):
+def _linear_geopotential_matrix(pk, bk, t_ref, ps_ref, rdgas, top_is_zero,
+                                option="simmons_and_burridge"):
     """GG with geopot = GG @ del_T, plus the h2 ln(ps)-response vector."""
     L = len(t_ref)
     _, ln_p_half, _, ln_p_full = pressure_variables(
-        np, pk, bk, np.float64(ps_ref), top_is_zero
+        np, pk, bk, np.float64(ps_ref), top_is_zero, option=option
     )
     dlnp_half = ln_p_half[1:] - ln_p_half[:-1]   # (L,)
     GG = np.zeros((L, L))
@@ -97,8 +108,10 @@ def _linear_geopotential_matrix(pk, bk, t_ref, ps_ref, rdgas, top_is_zero):
     else:
         del_ln_p_half[0] = bk[0] / (pk[0] + bk[0] * ps_ref)
     eps = 1.0e-5
-    _, _, _, lnpf1 = pressure_variables(np, pk, bk, ps_ref * (1 - 0.5 * eps), top_is_zero)
-    _, _, _, lnpf2 = pressure_variables(np, pk, bk, ps_ref * (1 + 0.5 * eps), top_is_zero)
+    _, _, _, lnpf1 = pressure_variables(np, pk, bk, ps_ref * (1 - 0.5 * eps),
+                                        top_is_zero, option=option)
+    _, _, _, lnpf2 = pressure_variables(np, pk, bk, ps_ref * (1 + 0.5 * eps),
+                                        top_is_zero, option=option)
     del_ln_p_full = (lnpf2 - lnpf1) / (eps * ps_ref)
 
     incr = rdgas * t_ref * (del_ln_p_half[1:] - del_ln_p_half[:-1])
@@ -139,6 +152,7 @@ def build_implicit(
     rdgas: float = 287.04,
     cp_air: float = 1004.64,
     dtype=jnp.float32,
+    vert_difference_option: str = "simmons_and_burridge",
 ) -> Implicit:
     L = len(pk) - 1
     t_ref = np.full(L, t_ref, dtype=np.float64) if np.isscalar(t_ref) else np.asarray(t_ref, np.float64)
@@ -146,15 +160,23 @@ def build_implicit(
     bk = np.asarray(bk, np.float64)
     top_is_zero = pk[0] == 0.0 and bk[0] == 0.0
     kappa = rdgas / cp_air
+    opt = vert_difference_option
 
-    nu, DT = _linear_tp_tendency_matrices(pk, bk, t_ref, ps_ref, kappa, top_is_zero)
-    GG, h2 = _linear_geopotential_matrix(pk, bk, t_ref, ps_ref, rdgas, top_is_zero)
+    nu, DT = _linear_tp_tendency_matrices(pk, bk, t_ref, ps_ref, kappa,
+                                          top_is_zero, option=opt)
+    GG, h2 = _linear_geopotential_matrix(pk, bk, t_ref, ps_ref, rdgas,
+                                         top_is_zero, option=opt)
 
-    _, ln_p_half, _, ln_p_full = pressure_variables(np, pk, bk, np.float64(ps_ref), top_is_zero)
-    dlog_1 = ln_p_half[1:] - ln_p_full
-    dlog_2 = ln_p_full - ln_p_half[:-1]
-    dp = np.diff(pk) + np.diff(bk) * ps_ref
-    h1 = rdgas * t_ref * (bk[1:] * dlog_1 + bk[:-1] * dlog_2) / dp
+    _, ln_p_half, _, ln_p_full = pressure_variables(
+        np, pk, bk, np.float64(ps_ref), top_is_zero, option=opt)
+    if opt == "mcm":
+        # pres_grad_funct mcm branch (implicit.F90:404-408)
+        h1 = rdgas * t_ref / ps_ref
+    else:
+        dlog_1 = ln_p_half[1:] - ln_p_full
+        dlog_2 = ln_p_full - ln_p_half[:-1]
+        dp = np.diff(pk) + np.diff(bk) * ps_ref
+        h1 = rdgas * t_ref * (bk[1:] * dlog_1 + bk[:-1] * dlog_2) / dp
     h = h1 + h2
 
     # gravity-wave operator: G(k,kk) = h_k nu_kk + sum_j GG(k,j) tau(j,kk), tau = -DT
@@ -203,20 +225,22 @@ def implicit_correction(
 
     # replace linear terms evaluated at `current` by `previous` (adjust_dt_divs)
     div_diff = divs.prev - divs.curr
-    dt_ts = dt_ts + jnp.einsum("kl,lmn->kmn", DT, div_diff)
-    dt_lnps = dt_lnps - jnp.einsum("l,lmn->mn", nu, div_diff) / imp.ps_ref
+    dt_ts = dt_ts + jnp.einsum("kl,lmn->kmn", DT, div_diff, precision=PREC)
+    dt_lnps = dt_lnps - jnp.einsum("l,lmn->mn", nu, div_diff,
+                                   precision=PREC) / imp.ps_ref
 
     ts_temp = ts.prev - ts.curr + xi * dt_ts
     ps_temp = lnps.prev - lnps.curr + xi * dt_lnps
-    geopot = jnp.einsum("kl,lmn->kmn", GG, ts_temp)
+    geopot = jnp.einsum("kl,lmn->kmn", GG, ts_temp, precision=PREC)
     dt_divs = dt_divs + lam[None, None, :] * (
         geopot + h[:, None, None] * ps_temp[None, :, :] * imp.ps_ref
     )
 
     # batched dense solve per total wavenumber n (MXU batched matmul)
-    dt_divs = jnp.einsum("nkl,lmn->kmn", WM, dt_divs)
+    dt_divs = jnp.einsum("nkl,lmn->kmn", WM, dt_divs, precision=PREC)
 
     # back-substitution
-    dt_ts = dt_ts + xi * jnp.einsum("kl,lmn->kmn", DT, dt_divs)
-    dt_lnps = dt_lnps - xi * jnp.einsum("l,lmn->mn", nu, dt_divs) / imp.ps_ref
+    dt_ts = dt_ts + xi * jnp.einsum("kl,lmn->kmn", DT, dt_divs, precision=PREC)
+    dt_lnps = dt_lnps - xi * jnp.einsum("l,lmn->mn", nu, dt_divs,
+                                        precision=PREC) / imp.ps_ref
     return dt_divs, dt_ts, dt_lnps

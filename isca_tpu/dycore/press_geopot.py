@@ -21,11 +21,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def pressure_variables(xp, pk, bk, surface_p, top_is_zero: bool):
+def pressure_variables(xp, pk, bk, surface_p, top_is_zero: bool,
+                       option: str = "simmons_and_burridge"):
     """(p_half, ln_p_half, p_full, ln_p_full) from surface pressure.
 
     pk, bk: (L+1,) coefficient arrays; surface_p: any shape S.
     Returns arrays of shape S + (L+1,) and S + (L,).
+
+    `option` is vert_difference_option (press_and_geopot.F90:167-221):
+    'simmons_and_burridge' (log-pressure alpha weighting) or 'mcm'
+    (Manabe Climate Model: full level = arithmetic mean of half pressures).
     """
     ps = xp.asarray(surface_p)[..., None]
     p_half = pk + bk * ps
@@ -38,6 +43,13 @@ def pressure_variables(xp, pk, bk, surface_p, top_is_zero: bool):
         )
     else:
         ln_p_half = xp.log(p_half)
+    if option == "mcm":
+        # press_and_geopot.F90:196-210
+        p_full = 0.5 * (p_half[..., 1:] + p_half[..., :-1])
+        ln_p_full = xp.log(p_full)
+        return p_half, ln_p_half, p_full, ln_p_full
+    if option != "simmons_and_burridge":
+        raise ValueError(f"invalid vert_difference_option {option!r}")
     dp = p_half[..., 1:] - p_half[..., :-1]
     alpha = 1.0 - p_half[..., :-1] * (ln_p_half[..., 1:] - ln_p_half[..., :-1]) / dp
     ln_p_full = ln_p_half[..., 1:] - alpha

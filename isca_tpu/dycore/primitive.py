@@ -78,6 +78,11 @@ class PrimitiveConfig:
     num_levels: int = 25
     dt: float = 600.0
     vert_coord_option: str = "even_sigma"
+    vert_difference_option: str = "simmons_and_burridge"  # or 'mcm'
+    # MXU matmul precision for the spectral transforms: 'highest' (f32-exact,
+    # default), 'high' (3-pass bf16, ~1.3x faster step, ~1e-6 rel noise), or
+    # 'default' (raw bf16 — unsafe for production climate runs)
+    transform_precision: str = "highest"
     vert_coord_kwargs: tuple = ()          # dict items, e.g. (('scale_heights', 6.0), ...)
     robert_coeff: float = 0.04
     raw_filter_coeff: float = 1.0
@@ -143,7 +148,8 @@ class PrimitiveCore:
         self.C = c.constants
         self.T = tr.make_transforms(c.resolution, radius=self.C.radius,
                                     dtype=c.dtype,
-                                    make_symmetric=c.make_symmetric)
+                                    make_symmetric=c.make_symmetric,
+                                    precision=c.transform_precision)
         self.tracer_attrs = tuple(tracer_attrs)
         self.fv_geom = fv.make_fv_geometry(self.T) if any(
             a.representation == "grid" for a in self.tracer_attrs
@@ -200,6 +206,7 @@ class PrimitiveCore:
             alpha=c.alpha_implicit,
             rdgas=self.C.rdgas, cp_air=self.C.cp_air,
             dtype=c.dtype,
+            vert_difference_option=c.vert_difference_option,
         ) if c.use_implicit else None
 
         self.coriolis = tr.coriolis_grid(self.T, self.C.omega).astype(c.dtype)
@@ -207,7 +214,9 @@ class PrimitiveCore:
     # ------------------------------------------------------------------
     def pressure_variables(self, psg):
         """(p_half, ln_p_half, p_full, ln_p_full), level-first."""
-        ph, lph, pf, lpf = pg.pressure_variables(jnp, self.pk, self.bk, psg, self.top_is_zero)
+        ph, lph, pf, lpf = pg.pressure_variables(
+            jnp, self.pk, self.bk, psg, self.top_is_zero,
+            option=self.config.vert_difference_option)
         return _lev_first(ph), _lev_first(lph), _lev_first(pf), _lev_first(lpf)
 
     def mass_weighted_integral(self, field, psg):
@@ -286,24 +295,31 @@ class PrimitiveCore:
     def _four_in_one(self, divg, u, v, virt_t, psg, ln_p_half, ln_p_full, p_full,
                      dx_psg, dy_psg):
         """PGF terms, divergence integral, vertical mass flux, omega, energy
-        conversion (spectral_dynamics.F90:1038-1112, Simmons-Burridge)."""
+        conversion (spectral_dynamics.F90:1038-1112; Simmons-Burridge or the
+        MCM half-layer weighting selected by vert_difference_option)."""
         C = self.C
         kappa = C.rdgas / C.cp_air
         ps = psg[None]
         dp = self.dpk[:, None, None] + self.dbk[:, None, None] * ps
-        dlog_1 = ln_p_half[1:] - ln_p_full
-        dlog_2 = ln_p_full - ln_p_half[:-1]
-        dlog_3 = ln_p_half[1:] - ln_p_half[:-1]
-        x1 = (self.bk[1:, None, None] * dlog_1 + self.bk[:-1, None, None] * dlog_2) / dp
-        x2 = x1 * dx_psg[None]
-        x3 = x1 * dy_psg[None]
-        du_pgf = -C.rdgas * virt_t * x2
-        dv_pgf = -C.rdgas * virt_t * x3
-
         dmean = divg * dp + self.dbk[:, None, None] * (u * dx_psg[None] + v * dy_psg[None])
         cum = jnp.cumsum(dmean, axis=0)
         cum_before = jnp.concatenate([jnp.zeros_like(cum[:1]), cum[:-1]], axis=0)
-        x4 = (cum_before * dlog_3 + dmean * dlog_1) / dp
+        if self.config.vert_difference_option == "mcm":
+            # spectral_dynamics.F90:1084-1099: PGF uses grad(ps)/ps directly;
+            # energy conversion weights the current layer by 1/2
+            x2 = (dx_psg / psg)[None] * jnp.ones_like(virt_t)
+            x3 = (dy_psg / psg)[None] * jnp.ones_like(virt_t)
+            x4 = (cum_before + 0.5 * dmean) / p_full
+        else:
+            dlog_1 = ln_p_half[1:] - ln_p_full
+            dlog_2 = ln_p_full - ln_p_half[:-1]
+            dlog_3 = ln_p_half[1:] - ln_p_half[:-1]
+            x1 = (self.bk[1:, None, None] * dlog_1 + self.bk[:-1, None, None] * dlog_2) / dp
+            x2 = x1 * dx_psg[None]
+            x3 = x1 * dy_psg[None]
+            x4 = (cum_before * dlog_3 + dmean * dlog_1) / dp
+        du_pgf = -C.rdgas * virt_t * x2
+        dv_pgf = -C.rdgas * virt_t * x3
         x5 = x4 - u * x2 - v * x3
         dt_t_econv = -kappa * virt_t * x5
         wg_full = -x5 * p_full

@@ -51,6 +51,7 @@ class BarotropicConfig:
     eddy_lat: float = 45.0
     spec_tracer: bool = True
     valid_range_v: tuple[float, float] = (-1.0e3, 1.0e3)
+    transform_precision: str = "highest"   # MXU einsum precision
     # stirring_nml
     stirring_amplitude: float = 0.0
     stirring_decay_time: float = 2 * 86400.0
@@ -87,7 +88,8 @@ class BarotropicModel:
 
     def __init__(self, config: BarotropicConfig = BarotropicConfig()):
         self.config = c = config
-        self.T = tr.make_transforms(c.resolution, radius=c.radius, dtype=c.dtype)
+        self.T = tr.make_transforms(c.resolution, radius=c.radius, dtype=c.dtype,
+                                    precision=c.transform_precision)
         self.damping = make_damping(
             self.T,
             damping_coeff=c.damping_coeff,

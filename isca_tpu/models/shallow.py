@@ -65,6 +65,7 @@ class ShallowConfig:
     init_vortex_h_h_0: float = 0.1
     spec_tracer: bool = True
     valid_range_v: tuple[float, float] = (-1.0e3, 1.0e3)
+    transform_precision: str = "highest"   # MXU einsum precision
     # physics (shallow_physics_nml); damp times in days if negative like reference
     fric_damp_time: float = -20.0
     therm_damp_time: float = -10.0
@@ -113,7 +114,8 @@ class ShallowState:
 class ShallowModel:
     def __init__(self, config: ShallowConfig = ShallowConfig()):
         self.config = c = config
-        self.T = tr.make_transforms(c.resolution, radius=c.radius, dtype=c.dtype)
+        self.T = tr.make_transforms(c.resolution, radius=c.radius, dtype=c.dtype,
+                                    precision=c.transform_precision)
         self.damping = make_damping(
             self.T,
             damping_coeff=c.damping_coeff,

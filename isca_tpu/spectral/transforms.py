@@ -78,7 +78,7 @@ RESOLUTIONS: dict[str, tuple[int, int, int]] = {
         "dft_sin_i",
     ],
     meta_fields=["truncation", "num_fourier", "num_spherical", "nlon", "nlat", "radius",
-                 "fourier_method"],
+                 "fourier_method", "precision"],
 )
 @dataclasses.dataclass(frozen=True)
 class SphericalTransforms:
@@ -121,6 +121,15 @@ class SphericalTransforms:
     dft_cos_i: jax.Array  # (M+1, nlon) w_m cos(m lam)    (synthesis; w_0=1 else 2)
     dft_sin_i: jax.Array  # (M+1, nlon) -w_m sin(m lam)
     fourier_method: str = "dft"
+    # MXU matmul precision for every transform einsum.  TPU matmuls default
+    # to bf16 inputs; the spectral transforms carry the full climate state
+    # each step, so bf16 noise (~4e-3 relative) corrupts the trajectory and
+    # the global fixers.  "highest" = f32 accumulation (6-pass on MXU).
+    precision: str = "highest"
+
+    @property
+    def prec(self):
+        return jax.lax.Precision(self.precision.lower())
 
     @property
     def spec_shape(self) -> tuple[int, int]:
@@ -143,6 +152,7 @@ def make_transforms(
     dtype=jnp.float32,
     fourier_method: str = "dft",
     make_symmetric: bool = False,
+    precision: str = "highest",
 ) -> SphericalTransforms:
     """Build transform tables for a triangular truncation.
 
@@ -240,6 +250,7 @@ def make_transforms(
         dft_cos_i=f(dft_cos_i),
         dft_sin_i=f(dft_sin_i),
         fourier_method=fourier_method,
+        precision=precision,
     )
 
 
@@ -256,8 +267,8 @@ def grid_to_fourier(T: SphericalTransforms, g: jax.Array) -> jax.Array:
     if T.fourier_method == "fft":
         F = jnp.fft.rfft(g, axis=-1) / T.nlon
         return F[..., : T.num_fourier + 1].astype(T.cdtype)
-    Fr = jnp.einsum("...l,lm->...m", g, T.dft_cos_f)
-    Fi = jnp.einsum("...l,lm->...m", g, T.dft_sin_f)
+    Fr = jnp.einsum("...l,lm->...m", g, T.dft_cos_f, precision=T.prec)
+    Fi = jnp.einsum("...l,lm->...m", g, T.dft_sin_f, precision=T.prec)
     return jax.lax.complex(Fr, Fi)
 
 
@@ -269,8 +280,8 @@ def fourier_to_grid(T: SphericalTransforms, F: jax.Array) -> jax.Array:
         Ffull = jnp.pad(F, pad)
         return jnp.fft.irfft(Ffull * T.nlon, n=T.nlon, axis=-1).astype(T.P.dtype)
     return (
-        jnp.einsum("...m,ml->...l", F.real, T.dft_cos_i)
-        + jnp.einsum("...m,ml->...l", F.imag, T.dft_sin_i)
+        jnp.einsum("...m,ml->...l", F.real, T.dft_cos_i, precision=T.prec)
+        + jnp.einsum("...m,ml->...l", F.imag, T.dft_sin_i, precision=T.prec)
     ).astype(T.P.dtype)
 
 
@@ -280,12 +291,14 @@ def fourier_to_grid(T: SphericalTransforms, F: jax.Array) -> jax.Array:
 
 def fourier_to_spec(T: SphericalTransforms, F: jax.Array) -> jax.Array:
     """Legendre analysis: s_mn = (1/2) sum_j F(j,m) Pbar_mn(j) w_j."""
-    return jnp.einsum("jmn,...jm->...mn", T.Pw.astype(T.cdtype), F)
+    return jnp.einsum("jmn,...jm->...mn", T.Pw.astype(T.cdtype), F,
+                      precision=T.prec)
 
 
 def spec_to_fourier(T: SphericalTransforms, s: jax.Array) -> jax.Array:
     """Legendre synthesis: F(j,m) = sum_n s_mn Pbar_mn(j)."""
-    return jnp.einsum("jmn,...mn->...jm", T.P.astype(T.cdtype), s)
+    return jnp.einsum("jmn,...mn->...jm", T.P.astype(T.cdtype), s,
+                      precision=T.prec)
 
 
 def grid_to_spec(T: SphericalTransforms, g: jax.Array, truncate: bool = True) -> jax.Array:
@@ -417,7 +430,10 @@ def horizontal_advection(
 def area_weighted_mean(T: SphericalTransforms, g: jax.Array) -> jax.Array:
     """Area-weighted global mean over the trailing (lat, lon) axes."""
     w = (T.wts / 2.0).astype(g.dtype)
-    return jnp.einsum("...jk,j->...", g, w) / T.nlon
+    # always full precision: this is the measuring stick for the global
+    # mass/water/energy fixers — noise here random-walks the conserved totals
+    return jnp.einsum("...jk,j->...", g, w,
+                      precision=jax.lax.Precision.HIGHEST) / T.nlon
 
 
 def coriolis_grid(T: SphericalTransforms, omega: float) -> jax.Array:

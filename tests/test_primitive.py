@@ -73,6 +73,21 @@ class TestPressGeopot:
         expected = R * T0 * (np.log(1.0e5) - lpf)
         np.testing.assert_allclose(phi_full, expected, rtol=1e-12)
 
+    def test_mcm_pressure_variables(self):
+        """vert_difference_option='mcm': full level = mean of half levels
+        (press_and_geopot.F90:196-210)."""
+        pk, bk = vc.compute_vert_coord("mcm", 14)
+        ps = np.full((3, 2), 9.8e4)
+        ph, lph, pf, lpf = pg.pressure_variables(np, pk, bk, ps,
+                                                 bool(pk[0] == 0 and bk[0] == 0),
+                                                 option="mcm")
+        np.testing.assert_allclose(pf, 0.5 * (ph[..., 1:] + ph[..., :-1]),
+                                   rtol=1e-14)
+        np.testing.assert_allclose(np.exp(lpf), pf, rtol=1e-12)
+        import pytest
+        with pytest.raises(ValueError):
+            pg.pressure_variables(np, pk, bk, ps, True, option="bogus")
+
 
 class TestVertAdvection:
     def test_uniform_field_no_tendency(self):
@@ -311,3 +326,29 @@ class TestExternalFileIC:
         self._write_ic(path, 6, nlat, nlon)
         with pytest.raises(ValueError, match="sphum"):
             apply_external_file(core, str(path))
+
+
+class TestMCMDifferencing:
+    """vert_difference_option='mcm' end-to-end (the reference's
+    Manabe-Climate-Model configuration: mcm sigma ladder + mcm differencing
+    in pressure_variables/four_in_one/implicit)."""
+
+    def test_mcm_held_suarez_stable(self):
+        model = hs_model(num_levels=14, vert_coord_option="mcm",
+                         vert_difference_option="mcm")
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 96))(s)   # 32 hours
+        d = model.diagnostics(s)
+        assert np.isfinite(float(d["umax"]))
+        assert 100.0 < float(d["tmin"]) and float(d["tmax"]) < 500.0
+        assert abs(float(d["mean_ps"]) - 101325.0) < 1.0
+
+    def test_mcm_differs_from_simmons_burridge(self):
+        m1 = hs_model(num_levels=14, vert_coord_option="mcm")
+        m2 = hs_model(num_levels=14, vert_coord_option="mcm",
+                      vert_difference_option="mcm")
+        s1 = jax.jit(lambda s: m1.run(s, 24))(m1.initial_state())
+        s2 = jax.jit(lambda s: m2.run(s, 24))(m2.initial_state())
+        # same ladder, different differencing -> different trajectories
+        dmax = float(jnp.abs(s1.tg.curr - s2.tg.curr).max())
+        assert dmax > 1e-6
