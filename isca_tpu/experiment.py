@@ -48,13 +48,19 @@ class Experiment(EventEmitter):
 
     def __init__(self, name: str, model, diag_table: DiagTable | None = None,
                  datadir: str = "runs", steps_per_diag_chunk: int | None = None,
-                 json_logging: bool = False):
+                 json_logging: bool = False,
+                 disk_limit_gb: float | None = None,
+                 disk_cutoff_gb: float = 5.0):
         super().__init__()
         self.name = name
         self.model = model
         self.datadir = os.path.join(datadir, name)
         self.diag_table = diag_table
         self.json_logging = json_logging
+        # disk guard (check_disk_space.py / create_alert.py): warn below
+        # disk_limit_gb free, abort below disk_cutoff_gb, checked per segment
+        self.disk_limit_gb = disk_limit_gb
+        self.disk_cutoff_gb = disk_cutoff_gb
         os.makedirs(os.path.join(self.datadir, "restarts"), exist_ok=True)
         core = getattr(model, "core", None)
         self.T = core.T if core is not None else model.T
@@ -74,6 +80,15 @@ class Experiment(EventEmitter):
         model, T = self.model, self.T
         rundir = os.path.join(self.datadir, f"run{i:04d}")
         os.makedirs(rundir, exist_ok=True)
+
+        # provenance + disk guard before any compute (codebase.py:153-183,
+        # create_alert.py)
+        from isca_tpu.utils.alerts import check_disk_space, write_source_control_status
+        write_source_control_status(os.path.join(rundir, "git_hash_used.txt"))
+        if self.disk_limit_gb is not None:
+            check_disk_space(self.datadir, self.disk_limit_gb,
+                             self.disk_cutoff_gb, emitter=self,
+                             context=f"before segment {i} of {self.name}")
 
         first = True
         state = model.initial_state()

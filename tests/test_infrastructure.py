@@ -308,3 +308,53 @@ class TestValidityGuard:
         path = os.path.join(str(tmp_path), "bad_run", "run0001",
                             "atmos_daily.nc")
         assert os.path.exists(path)
+
+
+class TestAlertsAndProvenance:
+    """codebase.py write_source_control_status + check_disk_space/create_alert
+    equivalents (utils/alerts.py)."""
+
+    def test_source_control_status(self, tmp_path):
+        from isca_tpu.utils.alerts import write_source_control_status
+        out = tmp_path / "git_hash_used.txt"
+        s = write_source_control_status(str(out))
+        text = out.read_text()
+        assert "commit hash used" in text
+        assert len(s["commit"]) in (7, 40, len("unknown"), 64) or s["commit"]
+
+    def test_disk_guard_thresholds(self):
+        from isca_tpu.utils import alerts
+        from isca_tpu.utils.events import EventEmitter
+        em = EventEmitter()
+        events = []
+        em.on("disk:low", lambda *a: events.append(a))
+        free = alerts.check_disk_space("/", limit_gb=0.0, cutoff_gb=0.0)
+        assert free > 0 and events == []
+        # force the warn path
+        alerts.check_disk_space("/", limit_gb=1e9, cutoff_gb=0.0, emitter=em)
+        assert len(events) == 1 and events[0][2] is False
+        import pytest
+        with pytest.raises(alerts.DiskSpaceError):
+            alerts.check_disk_space("/", limit_gb=1e9, cutoff_gb=1e9, emitter=em)
+        assert events[-1][2] is True
+
+    def test_email_hook_fires_on_failure(self, tmp_path, monkeypatch):
+        from isca_tpu.utils import alerts
+        from isca_tpu.utils.events import FailedRunError
+        sent = []
+        monkeypatch.setattr(alerts, "send_email",
+                            lambda rcpt, msg, **kw: sent.append((rcpt, msg)))
+        core = PrimitiveConfig(resolution="T21", num_levels=8, dt=1800.0,
+                               dtype=jnp.float64,
+                               valid_range_t=(263.9, 264.1))
+        model = HeldSuarezModel(HeldSuarezConfig(core=core))
+        exp = Experiment("alert_run", model, None, datadir=str(tmp_path))
+        alerts.email_on_failure(exp, "user@example.com")
+        import pytest
+        with pytest.raises(FailedRunError):
+            exp.run(1, days=1)
+        assert sent and sent[0][0] == "user@example.com"
+        assert "FAILED" in sent[0][1]
+        # provenance file written before the abort
+        assert os.path.exists(os.path.join(
+            str(tmp_path), "alert_run", "run0001", "git_hash_used.txt"))
