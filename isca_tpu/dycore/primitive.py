@@ -83,6 +83,7 @@ class PrimitiveConfig:
     # default), 'high' (3-pass bf16, ~1.3x faster step, ~1e-6 rel noise), or
     # 'default' (raw bf16 — unsafe for production climate runs)
     transform_precision: str = "highest"
+    fourier_method: str = "dft"            # 'dft' (MXU matmul) | 'fft'
     vert_coord_kwargs: tuple = ()          # dict items, e.g. (('scale_heights', 6.0), ...)
     robert_coeff: float = 0.04
     raw_filter_coeff: float = 1.0
@@ -149,7 +150,8 @@ class PrimitiveCore:
         self.T = tr.make_transforms(c.resolution, radius=self.C.radius,
                                     dtype=c.dtype,
                                     make_symmetric=c.make_symmetric,
-                                    precision=c.transform_precision)
+                                    precision=c.transform_precision,
+                                    fourier_method=c.fourier_method)
         self.tracer_attrs = tuple(tracer_attrs)
         self.fv_geom = fv.make_fv_geometry(self.T) if any(
             a.representation == "grid" for a in self.tracer_attrs
