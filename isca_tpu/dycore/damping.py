@@ -64,7 +64,11 @@ def make_damping(
     a2 = T.radius * T.radius
     n = np.arange(N2, dtype=np.float64)
     lam = n * (n + 1.0) / a2                      # positive Laplacian eigenvalues
-    lam_T = T.truncation * (T.truncation + 1.0) / a2
+    # normalize at the largest retained total wavenumber: = truncation for
+    # triangular; num_spherical-1 = fourier_inc*M + T for rhomboidal
+    # (spectral_dynamics.F90:430-433 num_total_wavenumbers)
+    n_tot = T.num_spherical - 1
+    lam_T = n_tot * (n_tot + 1.0) / a2
     lam2d = np.broadcast_to(lam, (M + 1, N2)).copy()
 
     exponential = damping_option == "exponential_cutoff"

@@ -75,6 +75,8 @@ class TracerAttr:
 @dataclasses.dataclass(frozen=True)
 class PrimitiveConfig:
     resolution: str | int = "T42"
+    nlon: int | None = None       # lon_max nml; default from resolution table
+    nlat: int | None = None       # lat_max nml
     num_levels: int = 25
     dt: float = 600.0
     vert_coord_option: str = "even_sigma"
@@ -84,6 +86,8 @@ class PrimitiveConfig:
     # 'default' (raw bf16 — unsafe for production climate runs)
     transform_precision: str = "highest"
     fourier_method: str = "dft"            # 'dft' (MXU matmul) | 'fft'
+    truncation_shape: str = "triangular"   # triang_trunc nml: or 'rhomboidal'
+    fourier_inc: int = 1
     vert_coord_kwargs: tuple = ()          # dict items, e.g. (('scale_heights', 6.0), ...)
     robert_coeff: float = 0.04
     raw_filter_coeff: float = 1.0
@@ -147,11 +151,14 @@ class PrimitiveCore:
     def __init__(self, config: PrimitiveConfig, tracer_attrs: tuple = ()):
         self.config = c = config
         self.C = c.constants
-        self.T = tr.make_transforms(c.resolution, radius=self.C.radius,
+        self.T = tr.make_transforms(c.resolution, nlon=c.nlon, nlat=c.nlat,
+                                    radius=self.C.radius,
                                     dtype=c.dtype,
                                     make_symmetric=c.make_symmetric,
                                     precision=c.transform_precision,
-                                    fourier_method=c.fourier_method)
+                                    fourier_method=c.fourier_method,
+                                    truncation_shape=c.truncation_shape,
+                                    fourier_inc=c.fourier_inc)
         self.tracer_attrs = tuple(tracer_attrs)
         self.fv_geom = fv.make_fv_geometry(self.T) if any(
             a.representation == "grid" for a in self.tracer_attrs

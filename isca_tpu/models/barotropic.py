@@ -33,6 +33,8 @@ from isca_tpu.spectral import transforms as tr
 @dataclasses.dataclass(frozen=True)
 class BarotropicConfig:
     resolution: str | int = "T85"
+    nlon: int | None = None       # lon_max nml; default from resolution table
+    nlat: int | None = None       # lat_max nml
     dt: float = 1200.0
     radius: float = 6371.0e3
     omega: float = 7.292e-5
@@ -52,6 +54,8 @@ class BarotropicConfig:
     spec_tracer: bool = True
     valid_range_v: tuple[float, float] = (-1.0e3, 1.0e3)
     transform_precision: str = "highest"   # MXU einsum precision
+    truncation_shape: str = "triangular"   # or 'rhomboidal'
+    fourier_inc: int = 1
     # stirring_nml
     stirring_amplitude: float = 0.0
     stirring_decay_time: float = 2 * 86400.0
@@ -88,8 +92,11 @@ class BarotropicModel:
 
     def __init__(self, config: BarotropicConfig = BarotropicConfig()):
         self.config = c = config
-        self.T = tr.make_transforms(c.resolution, radius=c.radius, dtype=c.dtype,
-                                    precision=c.transform_precision)
+        self.T = tr.make_transforms(c.resolution, nlon=c.nlon, nlat=c.nlat,
+                                    radius=c.radius, dtype=c.dtype,
+                                    precision=c.transform_precision,
+                                    truncation_shape=c.truncation_shape,
+                                    fourier_inc=c.fourier_inc)
         self.damping = make_damping(
             self.T,
             damping_coeff=c.damping_coeff,

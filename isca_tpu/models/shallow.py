@@ -39,6 +39,8 @@ from isca_tpu.spectral import transforms as tr
 @dataclasses.dataclass(frozen=True)
 class ShallowConfig:
     resolution: str | int = "T85"
+    nlon: int | None = None       # lon_max nml; default from resolution table
+    nlat: int | None = None       # lat_max nml
     dt: float = 1200.0
     radius: float = 6371.0e3
     omega: float = 7.292e-5
@@ -66,6 +68,8 @@ class ShallowConfig:
     spec_tracer: bool = True
     valid_range_v: tuple[float, float] = (-1.0e3, 1.0e3)
     transform_precision: str = "highest"   # MXU einsum precision
+    truncation_shape: str = "triangular"   # or 'rhomboidal'
+    fourier_inc: int = 1
     # physics (shallow_physics_nml); damp times in days if negative like reference
     fric_damp_time: float = -20.0
     therm_damp_time: float = -10.0
@@ -114,8 +118,11 @@ class ShallowState:
 class ShallowModel:
     def __init__(self, config: ShallowConfig = ShallowConfig()):
         self.config = c = config
-        self.T = tr.make_transforms(c.resolution, radius=c.radius, dtype=c.dtype,
-                                    precision=c.transform_precision)
+        self.T = tr.make_transforms(c.resolution, nlon=c.nlon, nlat=c.nlat,
+                                    radius=c.radius, dtype=c.dtype,
+                                    precision=c.transform_precision,
+                                    truncation_shape=c.truncation_shape,
+                                    fourier_inc=c.fourier_inc)
         self.damping = make_damping(
             self.T,
             damping_coeff=c.damping_coeff,

@@ -153,42 +153,74 @@ def make_transforms(
     fourier_method: str = "dft",
     make_symmetric: bool = False,
     precision: str = "highest",
+    truncation_shape: str = "triangular",
+    fourier_inc: int = 1,
 ) -> SphericalTransforms:
-    """Build transform tables for a triangular truncation.
+    """Build transform tables for a triangular or rhomboidal truncation.
 
     Default grid sizes follow the reference's quadratic-dealiasing table
     (nlon >= 3T+1, nlat = nlon/2).  make_symmetric zeroes all m > 0 modes in
     the prognostic triangle — the reference's zonally-symmetric model option
     (spectral_dynamics_nml make_symmetric, spherical.F90:185).
+
+    truncation_shape='rhomboidal' retains l = n - m = 0..T for every zonal
+    wavenumber (reference triang_trunc=.false.: the (m, l) parallelogram is
+    kept whole, rhomboidal_truncation only zeroes the overflow row,
+    spherical.F90:603-644; num_total_wavenumbers = T + fourier_inc*M,
+    spectral_dynamics.F90:430-434).
+
+    fourier_inc keeps only zonal wavenumbers that are multiples of
+    fourier_inc (sector/symmetric models, spherical.F90:182
+    fourier_wave = m*fourier_inc).  Under triangular truncation the retained
+    set is still bounded by total wavenumber n <= T (spherical.F90:184), so
+    m rows beyond T are dropped entirely rather than carried fully masked.
     """
     if isinstance(truncation, str):
         truncation, d_nlon, d_nlat = RESOLUTIONS[truncation]
         nlon = nlon or d_nlon
         nlat = nlat or d_nlat
+
+    if fourier_inc != 1 and fourier_method == "fft":
+        raise ValueError("fourier_inc > 1 requires the dense 'dft' stage")
+
+    if truncation_shape == "rhomboidal":
+        m_values = fourier_inc * np.arange(truncation + 1)
+        m_max = int(m_values[-1])
+        # one extra row past n = m_max + T for exact wind synthesis
+        N = m_max + truncation + 1
+    elif truncation_shape == "triangular":
+        m_values = fourier_inc * np.arange(truncation // fourier_inc + 1)
+        m_max = int(m_values[-1])
+        N = truncation + 1
+    else:
+        raise ValueError(f"invalid truncation_shape {truncation_shape!r}")
+    M = len(m_values) - 1
+
     if nlon is None:
-        nlon = int(2 ** np.ceil(np.log2(3 * truncation + 1)))
+        nlon = int(2 ** np.ceil(np.log2(3 * m_max + 1)))
     if nlat is None:
         nlat = nlon // 2
 
-    M = truncation
-    N = truncation + 1  # one extra total-wavenumber row for exact wind synthesis
-
     mu, w = gauss.gauss_legendre(nlat)
-    P = gauss.legendre_table(mu, M, N)
-    eps = gauss.epsilon_table(M, N + 1)  # (M+1, N+3)
+    P = gauss.legendre_table(mu, m_max, N)[:, m_values, :]
+    eps = gauss.epsilon_table(m_max, N + 1)[m_values, :]  # (M+1, N+3)
 
     nvals = np.arange(N + 1, dtype=np.float64)
     nn1 = nvals * (nvals + 1.0)
     inv_nn1 = np.where(nn1 > 0, 1.0 / np.where(nn1 == 0, 1.0, nn1), 0.0)
 
-    mgrid = np.arange(M + 1)[:, None]
+    mgrid = m_values[:, None]
     ngrid = np.arange(N + 1)[None, :]
-    triangle = ((ngrid >= mgrid) & (ngrid <= truncation)).astype(np.float64)
+    if truncation_shape == "rhomboidal":
+        triangle = ((ngrid >= mgrid)
+                    & (ngrid - mgrid <= truncation)).astype(np.float64)
+    else:
+        triangle = ((ngrid >= mgrid) & (ngrid <= truncation)).astype(np.float64)
     if make_symmetric:
         triangle[1:, :] = 0.0   # axisymmetric: zonal-mean modes only
 
     # operator coefficient tables (all float64 on host, cast once)
-    mv = np.arange(M + 1, dtype=np.float64)[:, None]
+    mv = np.asarray(m_values, np.float64)[:, None]
     nf = nvals[None, :]
     with np.errstate(divide="ignore", invalid="ignore"):
         inv_n = np.where(nf > 0, 1.0 / np.where(nf == 0, 1.0, nf), 0.0)
@@ -207,7 +239,7 @@ def make_transforms(
 
     # dense real-DFT matrices for the longitude stage
     lam_lon = 2.0 * np.pi * np.arange(nlon) / nlon
-    ang = np.outer(lam_lon, np.arange(M + 1))                   # (nlon, M+1)
+    ang = np.outer(lam_lon, m_values)                           # (nlon, M+1)
     dft_cos_f = np.cos(ang) / nlon
     dft_sin_f = -np.sin(ang) / nlon
     wm = np.full(M + 1, 2.0)
@@ -231,7 +263,7 @@ def make_transforms(
         P=f(P),
         Pw=f(P * (w[:, None, None] / 2.0)),
         eps=f(eps),
-        mvec=f(np.arange(M + 1, dtype=np.float64)),
+        mvec=f(np.asarray(m_values, np.float64)),
         nn1=f(nn1),
         inv_nn1=f(inv_nn1),
         triangle=f(triangle),

@@ -91,3 +91,12 @@ class TestBarotropic:
         s = model.initial_state()
         s = jax.jit(lambda s: model.run(s, 96))(s)
         assert np.isfinite(np.asarray(s.v.curr)).all()
+
+    def test_rhomboidal_run_stable(self):
+        # rhomboidal truncation (reference triang_trunc=.false.) end-to-end
+        cfg = BarotropicConfig(resolution=15, nlon=64, nlat=32, dt=1800.0,
+                               dtype=jnp.float64, truncation_shape="rhomboidal")
+        model = BarotropicModel(cfg)
+        s = jax.jit(lambda s: model.run(s, 48))(model.initial_state())
+        v = np.asarray(s.v.curr)
+        assert np.isfinite(v).all() and np.abs(v).max() < 200.0

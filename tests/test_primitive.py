@@ -352,3 +352,19 @@ class TestMCMDifferencing:
         # same ladder, different differencing -> different trajectories
         dmax = float(jnp.abs(s1.tg.curr - s2.tg.curr).max())
         assert dmax > 1e-6
+
+
+class TestRhomboidal:
+    """triang_trunc=.false. end-to-end: the MCM configuration runs the
+    primitive core rhomboidally truncated (spectral_dynamics nml triang_trunc;
+    num_total_wavenumbers = T + fourier_inc*M, spectral_dynamics.F90:430-434)."""
+
+    def test_rhomboidal_held_suarez_stable(self):
+        model = hs_model(resolution=15, num_levels=12, dt=1200.0,
+                         nlon=64, nlat=32, truncation_shape="rhomboidal")
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 48))(s)   # 16 hours
+        d = model.diagnostics(s)
+        assert np.isfinite(float(d["umax"]))
+        assert 100.0 < float(d["tmin"]) and float(d["tmax"]) < 500.0
+        assert abs(float(d["mean_ps"]) - 101325.0) < 1.0

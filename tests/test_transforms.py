@@ -183,3 +183,66 @@ class TestF32:
         s = triangular_truncate(T, s)
         s2 = grid_to_spec(T, spec_to_grid(T, s))
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=2e-5)
+
+
+class TestTruncationShapes:
+    """Rhomboidal truncation + fourier_inc sector models.
+
+    Reference semantics: spectral storage is an (m, l) parallelogram with total
+    wavenumber n = m*fourier_inc + l (spherical.F90:179-186); rhomboidal keeps
+    l = 0..T for every m (rhomboidal_truncation, spherical.F90:603-644);
+    triangular masks n > T regardless of fourier_inc (spherical.F90:184).
+    """
+
+    def test_rhomboidal_shape_and_mask(self):
+        T = make_transforms(10, nlon=64, nlat=32, dtype=jnp.float64,
+                            truncation_shape="rhomboidal")
+        assert T.num_fourier == 10
+        assert T.num_spherical == 21  # m_max + T + 1
+        tri = np.asarray(T.triangle)
+        m = np.arange(11)[:, None]
+        n = np.arange(22)[None, :]
+        np.testing.assert_array_equal(tri, ((n >= m) & (n - m <= 10)).astype(float))
+
+    def test_rhomboidal_round_trip(self):
+        T = make_transforms(10, nlon=96, nlat=48, dtype=jnp.float64,
+                            truncation_shape="rhomboidal")
+        s = random_spec(T, key=7)
+        s2 = grid_to_spec(T, spec_to_grid(T, s))
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-12)
+
+    def test_rhomboidal_uv_vordiv_round_trip(self):
+        T = make_transforms(10, nlon=96, nlat=48, dtype=jnp.float64,
+                            truncation_shape="rhomboidal")
+        vor = random_spec(T, key=1)
+        div = random_spec(T, key=2)
+        # remove the global-mean (n=0) mode, which carries no wind
+        vor = vor.at[0, 0].set(0.0)
+        div = div.at[0, 0].set(0.0)
+        u, v = uv_grid_from_vor_div(T, vor, div)
+        vor2, div2 = vor_div_from_uv_grid(T, u, v)
+        np.testing.assert_allclose(np.asarray(vor2), np.asarray(vor), atol=1e-10)
+        np.testing.assert_allclose(np.asarray(div2), np.asarray(div), atol=1e-10)
+
+    def test_fourier_inc_retained_modes(self):
+        T = make_transforms(21, nlon=64, nlat=32, dtype=jnp.float64, fourier_inc=3)
+        # zonal wavenumbers are multiples of 3, still bounded by n <= 21
+        np.testing.assert_array_equal(np.asarray(T.mvec), 3.0 * np.arange(8))
+        assert T.num_spherical == 22
+        tri = np.asarray(T.triangle)
+        assert tri[7, 21] == 1.0 and tri[7, 22] == 0.0  # m=21 retains only n=21
+
+    def test_fourier_inc_round_trip(self):
+        T = make_transforms(21, nlon=64, nlat=32, dtype=jnp.float64, fourier_inc=3)
+        s = random_spec(T, key=5)
+        s2 = grid_to_spec(T, spec_to_grid(T, s))
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s), atol=1e-12)
+
+    def test_fourier_inc_ddx(self):
+        # d/dlambda of e^{i 3 lambda} harmonic must multiply by i*3 (the
+        # physical zonal wavenumber, m_index=1 * fourier_inc=3).
+        from isca_tpu.spectral.transforms import ddx_spec
+        T = make_transforms(21, nlon=64, nlat=32, dtype=jnp.float64, fourier_inc=3)
+        s = jnp.zeros(T.spec_shape, dtype=jnp.complex128).at[1, 4].set(1.0 + 0.5j)
+        np.testing.assert_allclose(np.asarray(ddx_spec(T, s)),
+                                   np.asarray(3j * s), atol=1e-14)
