@@ -93,6 +93,9 @@ class GreyMoistModel:
             self.surf_geopotential = (
                 jnp.asarray(surf_geopotential, self.config.core.dtype) * self.core.C.grav
             )
+            # surface height for land_option='zsurf' heat capacity
+            self.physics.zsurf = jnp.asarray(
+                surf_geopotential, self.config.core.dtype)
 
     # valid_range_t guard (spectral_dynamics.F90:940-1005)
     validity_name = "temperature"
@@ -110,7 +113,13 @@ class GreyMoistModel:
         dyn = self.core.cold_start(self.surf_geopotential)
         q0 = jnp.full_like(dyn.tracers["sphum"].curr, c.initial_sphum)
         dyn.tracers["sphum"] = TwoLevel(q0, q0)
-        t_surf = jnp.full(self.core.T.grid_shape, c.t_surf_init, c.core.dtype)
+        if c.physics.mixed_layer.prescribe_initial_dist:
+            from isca_tpu.physics.mixed_layer import initial_t_surf
+            lat2d = self.core.T.lats[:, None] * jnp.ones(
+                (1, self.core.T.nlon), c.core.dtype)
+            t_surf = initial_t_surf(c.physics.mixed_layer, lat2d).astype(c.core.dtype)
+        else:
+            t_surf = jnp.full(self.core.T.grid_shape, c.t_surf_init, c.core.dtype)
         pc = c.physics
         if pc.bucket and self.land_mask is not None:
             depth0 = jnp.where(

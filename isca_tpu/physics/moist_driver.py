@@ -70,6 +70,7 @@ class MoistPhysicsConfig:
     roughness_mom: float = 0.05
     roughness_heat: float = 0.05
     roughness_moist: float = 0.05
+    land_roughness_prefactor: float = 1.0
     gust_const: float = 1.0
     do_conserve_energy_diff: bool = True
     # radiation timestep [s]; <= dt means every step (rrtm_radiation_nml
@@ -167,9 +168,16 @@ class MoistPhysics:
         self.ocean_qflux = (
             analytic_qflux(ml, self.lat2d) if ml.do_qflux else jnp.zeros_like(self.lat2d)
         )
+        if ml.do_warmpool:
+            from isca_tpu.physics.mixed_layer import warmpool_qflux
+            self.ocean_qflux = self.ocean_qflux + warmpool_qflux(
+                ml, self.lon2d, self.lat2d)
         self.land_mask = None   # optional (nlat, nlon) float mask set by the model
+        self.zsurf = None       # optional (nlat, nlon) surface height in m
         self.co2_series = None   # optional TimeSeries of CO2 ppmv
         self.sst_series = None   # optional TimeSeries of prescribed SSTs (lat, lon)
+        self.ice_series = None   # optional TimeSeries of sea-ice concentration
+        self.qflux_series = None  # optional TimeSeries of ocean q-flux (load_qflux)
         self.o3_series = None    # optional PressureTimeSeries of ozone mmr
         self.hprime = jnp.zeros_like(self.lat2d)  # subgrid-orography stdev (mg_drag)
         self.cg_drag = None     # CgDrag instance; see init_cg_drag
@@ -280,7 +288,14 @@ class MoistPhysics:
             diag.update(spk_diag)
 
         # ---- radiation: downward pass ----
-        albedo = jnp.full(shape2d, cfg.mixed_layer.albedo_value, t_prev.dtype)
+        from isca_tpu.physics.mixed_layer import albedo_with_ice, surface_albedo
+        albedo = jnp.broadcast_to(
+            surface_albedo(cfg.mixed_layer, self.lat2d, self.land_mask),
+            shape2d).astype(t_prev.dtype)
+        if cfg.mixed_layer.update_albedo_from_ice and self.ice_series is not None:
+            albedo = albedo_with_ice(cfg.mixed_layer, albedo,
+                                     self.ice_series.at(time_seconds))
+            diag["albedo"] = albedo
         dt_rad_avg = cfg.radiation.dt_rad_avg if cfg.radiation.dt_rad_avg > 0 else dt_real
         dt_rad_radians = dt_rad_avg / C.seconds_per_day * 2.0 * jnp.pi
         co2 = self.co2_series.at(time_seconds) if self.co2_series is not None else None
@@ -329,14 +344,23 @@ class MoistPhysics:
             land = None
             if self.land_mask is not None:
                 land = self.land_mask > 0.5
+            rough_mom = jnp.full(shape2d, cfg.roughness_mom, t_prev.dtype)
+            rough_heat = jnp.full(shape2d, cfg.roughness_heat, t_prev.dtype)
+            rough_moist = jnp.full(shape2d, cfg.roughness_moist, t_prev.dtype)
+            if land is not None and cfg.land_roughness_prefactor != 1.0:
+                # rougher (or smoother) land (idealized_moist_phys.F90:601-609)
+                pf = cfg.land_roughness_prefactor
+                rough_mom = jnp.where(land, pf * rough_mom, rough_mom)
+                rough_heat = jnp.where(land, pf * rough_heat, rough_heat)
+                rough_moist = jnp.where(land, pf * rough_moist, rough_moist)
             sf = surface_flux(
                 cfg.surface, self.svp,
                 t_prev[..., -1], q_prev[..., -1], u_prev[..., -1], v_prev[..., -1],
                 p_full_curr[..., -1], z_full_curr[..., -1] - z_surf,
                 p_half_curr[..., -1], t_surf,
-                jnp.full(shape2d, cfg.roughness_mom, t_prev.dtype),
-                jnp.full(shape2d, cfg.roughness_heat, t_prev.dtype),
-                jnp.full(shape2d, cfg.roughness_moist, t_prev.dtype),
+                rough_mom,
+                rough_heat,
+                rough_moist,
                 jnp.full(shape2d, cfg.gust_const, t_prev.dtype),
                 land=land,
                 bucket_depth=bucket_depth if cfg.bucket else None,
@@ -491,22 +515,27 @@ class MoistPhysics:
         dt_u, dt_v = down.dt_u, down.dt_v
 
         if cfg.mixed_layer_bc and sf is not None:
-            heat_capacity = None
-            if self.land_mask is not None:
-                C_ml = cfg.mixed_layer
-                hc = C.dens_h2o * 3989.24495292815 * C_ml.depth
-                heat_capacity = jnp.where(
-                    self.land_mask > 0.5, C_ml.land_h_capacity_prefactor * hc, hc
-                )
+            from isca_tpu.physics.mixed_layer import heat_capacity_field
+            C_ml = cfg.mixed_layer
+            heat_capacity = heat_capacity_field(
+                C_ml, self.lon2d, self.lat2d,
+                land_mask=self.land_mask, zsurf=self.zsurf)
+            ocean_qflux = (self.qflux_series.at(time_seconds)
+                           if self.qflux_series is not None else self.ocean_qflux)
+            if (C_ml.update_albedo_from_ice and self.qflux_series is not None
+                    and self.land_mask is not None):
+                # time-varying q-flux is zeroed over land/ice points
+                # (mixed_layer.F90:659-666)
+                ocean_qflux = jnp.where(self.land_mask > 0.5, 0.0, ocean_qflux)
             ml = mixed_layer_step(
                 cfg.mixed_layer, dt_real, t_surf, down.tri,
                 sf.flux_t, sf.flux_q, sf.flux_r,
                 rad.net_surf_sw_down, rad.surf_lw_down,
                 sf.dhdt_surf, sf.dedt_surf, sf.dedq_surf, sf.drdt_surf,
                 sf.dhdt_atm, sf.dedq_atm,
-                ocean_qflux=self.ocean_qflux,
+                ocean_qflux=ocean_qflux,
                 heat_capacity=heat_capacity,
-                land_mask=None,
+                land_mask=self.land_mask,
                 sst_prescribed=(self.sst_series.at(time_seconds)
                                 if self.sst_series is not None else None),
                 lats=self.lat2d,

@@ -369,3 +369,121 @@ class TestFullBettsMiller:
         s = model.initial_state()
         s = jax.jit(lambda s: model.run(s, 48))(s)
         assert np.isfinite(float(model.diagnostics(s)["tmax"]))
+
+
+class TestMixedLayerOptions:
+    """MiMA mixed-layer options: albedo profiles, ice albedo, heat-capacity
+    profiles, warmpool q-flux, prescribed initial SST (mixed_layer.F90:84-556)."""
+
+    def _lat2d(self, n=8):
+        lats = jnp.linspace(-jnp.pi / 2 * 0.95, jnp.pi / 2 * 0.95, n)
+        return lats[:, None] * jnp.ones((1, 4))
+
+    def test_albedo_choices(self):
+        from isca_tpu.physics.mixed_layer import surface_albedo
+        lat2d = self._lat2d()
+        a1 = np.asarray(surface_albedo(MixedLayerConfig(albedo_choice=1), lat2d))
+        np.testing.assert_allclose(a1, 0.06)
+        # choice 3: symmetric step poleward of lat_glacier
+        a3 = np.asarray(surface_albedo(
+            MixedLayerConfig(albedo_choice=3, lat_glacier=60.0,
+                             higher_albedo=0.5), lat2d))
+        deg = np.degrees(np.asarray(lat2d))
+        np.testing.assert_allclose(a3[np.abs(deg) > 60], 0.5)
+        np.testing.assert_allclose(a3[np.abs(deg) <= 60], 0.06)
+        # choice 4: monotone ramp equator -> pole
+        a4 = np.asarray(surface_albedo(
+            MixedLayerConfig(albedo_choice=4, higher_albedo=0.4), lat2d))[:, 0]
+        assert a4[0] == a4[-1] and (np.diff(a4[4:]) >= -1e-12).all()
+        # choice 5: tanh between the two values
+        a5 = np.asarray(surface_albedo(
+            MixedLayerConfig(albedo_choice=5, higher_albedo=0.4), lat2d))
+        assert (a5 >= 0.06 - 1e-9).all() and (a5 <= 0.4 + 1e-9).all()
+
+    def test_ice_albedo_methods(self):
+        from isca_tpu.physics.mixed_layer import albedo_with_ice
+        base = jnp.full((4,), 0.1)
+        conc = jnp.asarray([0.0, 0.4, 0.6, 1.0])
+        step = np.asarray(albedo_with_ice(
+            MixedLayerConfig(ice_albedo_value=0.7), base, conc))
+        np.testing.assert_allclose(step, [0.1, 0.1, 0.7, 0.7])
+        ramp = np.asarray(albedo_with_ice(
+            MixedLayerConfig(ice_albedo_value=0.7,
+                             ice_albedo_method="ramp_function"), base, conc))
+        np.testing.assert_allclose(ramp, 0.1 * (1 - np.asarray(conc)) + 0.7 * np.asarray(conc))
+
+    def test_heat_capacity_profile(self):
+        from isca_tpu.physics.mixed_layer import heat_capacity_field
+        lat2d = self._lat2d()
+        lon2d = jnp.zeros_like(lat2d)
+        rho_cp = EARTH.dens_h2o * 3989.24495292815
+        cfg = MixedLayerConfig(depth=40.0, trop_depth=10.0,
+                               trop_cap_limit=15.0, heat_cap_limit=60.0,
+                               np_cap_factor=0.5)
+        hc = np.asarray(heat_capacity_field(cfg, lon2d, lat2d))
+        deg = np.degrees(np.asarray(lat2d))
+        np.testing.assert_allclose(hc[np.abs(deg) < 15], 10.0 * rho_cp)
+        np.testing.assert_allclose(hc[deg > 60], 0.5 * 40.0 * rho_cp)
+        np.testing.assert_allclose(hc[deg < -60], 40.0 * rho_cp)
+
+    def test_lonlat_land_capacity(self):
+        from isca_tpu.physics.mixed_layer import heat_capacity_field
+        lat2d = self._lat2d()
+        lon2d = jnp.broadcast_to(
+            jnp.radians(jnp.asarray([10.0, 100.0, 200.0, 300.0]))[None, :],
+            lat2d.shape)
+        rho_cp = EARTH.dens_h2o * 3989.24495292815
+        cfg = MixedLayerConfig(land_option="lonlat", land_depth=2.0,
+                               slandlon=(90.0,), elandlon=(110.0,),
+                               slandlat=(-90.0,), elandlat=(90.0,))
+        hc = np.asarray(heat_capacity_field(cfg, lon2d, lat2d))
+        np.testing.assert_allclose(hc[:, 1], 2.0 * rho_cp)
+        np.testing.assert_allclose(hc[:, 0], 40.0 * rho_cp)
+
+    def test_warmpool(self):
+        from isca_tpu.physics.mixed_layer import warmpool_qflux
+        lat2d = self._lat2d()
+        lon2d = jnp.broadcast_to(
+            jnp.linspace(0.0, 2 * jnp.pi, 4, endpoint=False)[None, :], lat2d.shape)
+        cfg = MixedLayerConfig(do_warmpool=True, warmpool_amp=5.0,
+                               warmpool_width=20.0, warmpool_k=1)
+        q = np.asarray(warmpool_qflux(cfg, lon2d, lat2d))
+        deg = np.degrees(np.asarray(lat2d))
+        assert (q[np.abs(deg) > 20] == 0).all()
+        eq_row = np.argmin(np.abs(deg[:, 0]))
+        np.testing.assert_allclose(q[eq_row], 5.0 * (1 - (deg[eq_row, 0] / 20.0) ** 2)
+                                   * np.cos(np.asarray(lon2d)[eq_row]), rtol=1e-6)
+
+    def test_prescribed_initial_dist(self):
+        from isca_tpu.physics.mixed_layer import initial_t_surf
+        lat2d = self._lat2d()
+        cfg = MixedLayerConfig(prescribe_initial_dist=True, tconst=305.0, delta_T=40.0)
+        t0 = np.asarray(initial_t_surf(cfg, lat2d))
+        # equator: tconst + delta_T/3; pole: tconst - 2 delta_T/3
+        eq_row = np.argmin(np.abs(np.asarray(lat2d)[:, 0]))
+        assert t0[eq_row, 0] > 305.0 and t0[0, 0] < 290.0
+
+    def test_sst_over_ocean_only(self):
+        from isca_tpu.physics.vert_diff import TriSurf
+        shape = (4,)
+        zero = jnp.zeros(shape)
+        tri = TriSurf(
+            dtmass=zero + 1.0e-2, dflux_t=zero, dflux_q=zero,
+            delta_t=zero, delta_q=zero, delta_u=zero, delta_v=zero,
+            e=jnp.zeros(shape + (9,)), f_t=jnp.zeros(shape + (9,)),
+            f_q=jnp.zeros(shape + (9,)),
+        )
+        C = EARTH
+        cfg = MixedLayerConfig(do_sc_sst=True, specify_sst_over_ocean_only=True)
+        land = jnp.asarray([1.0, 1.0, 0.0, 0.0])
+        sst = jnp.full(shape, 300.0)
+        r = mixed_layer_step(
+            cfg, 600.0, jnp.full(shape, 290.0), tri,
+            zero, zero, zero + C.stefan * 290.0**4,
+            zero + 400.0, zero + 300.0,
+            zero, zero, zero, zero + 4 * C.stefan * 290.0**3, zero, zero,
+            land_mask=land, sst_prescribed=sst,
+        )
+        ts = np.asarray(r.t_surf)
+        np.testing.assert_allclose(ts[2:], 300.0)      # ocean pinned to SST
+        assert (ts[:2] > 290.0).all() and (ts[:2] < 295.0).all()  # land warms
