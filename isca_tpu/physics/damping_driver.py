@@ -37,6 +37,10 @@ class DampingDriverConfig:
     do_mg_drag: bool = False        # orographic GWD (mg_drag.f90)
     do_cg_drag: bool = False        # convective GWD (cg_drag.f90, AD99)
     do_const_drag: bool = False     # empirical drag (damping_driver.f90:283)
+    # Garner (2001) topographic drag: the reference ships it as a FATAL stub
+    # ("not supported as part of the public release", topo_drag.f90:62-63);
+    # selecting it here raises the same way
+    do_topo_drag: bool = False
     const_drag_amp: float = 3.0e-4
     const_drag_off: float = 0.0
     mg: MgDragConfig = MgDragConfig()
@@ -61,6 +65,10 @@ def damping_driver(
     cg_drag -> const_drag. Level-last arrays (..., L)."""
     C = cfg.constants
     diag = {}
+    if cfg.do_topo_drag:
+        raise NotImplementedError(
+            "topo_drag is not supported (the reference's topo_drag.f90 is a "
+            "FATAL stub in the public release)")
 
     def add_diss(du, dv, dt_t):
         diss = -((u + 0.5 * delta_t * du) * du

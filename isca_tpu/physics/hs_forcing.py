@@ -40,10 +40,16 @@ class HSForcingConfig:
     ks: float = -4.0
     kf: float = -1.0
     do_conserve_energy: bool = True
-    # equilibrium_t_option: 'Held_Suarez' (default) | 'exoplanet'
+    # equilibrium_t_option: 'Held_Suarez' (default) | 'exoplanet' | 'from_file'
     # (exoplanet: T* from instantaneous coszen - tidally-locked/diurnal forcing,
-    # hs_forcing.F90:571-583)
+    # hs_forcing.F90:571-583; from_file: set HSForcing.teq_field to a
+    # level-first (L, lat, lon) or (L, lat, 1) equilibrium-temperature array,
+    # the analogue of the reference's interpolator-fed teq, hs_forcing.F90:458)
     equilibrium_t_option: str = "Held_Suarez"
+    # relax winds toward a specified zonal-mean flow instead of Rayleigh
+    # drag (hs_forcing.F90:96-97, 641-655); set HSForcing.u_spec / v_spec
+    # to level-first (L, nlat, 1) target zonal means
+    relax_to_specified_wind: bool = False
     # optional localized heating (Isidoro option, hs_forcing.F90:718-769)
     local_heating_srfamp: float = 0.0      # K/day at the surface
     local_heating_xwidth: float = 10.0     # degrees
@@ -75,6 +81,9 @@ class HSForcing:
         self.cos_lat_4 = self.cos_lat_2**2
         self.t_star_lat = c.t_zero - c.delh * sin_lat**2 - c.eps * sin_lat
         self.tstr = c.t_strat - c.eps * sin_lat
+        self.teq_field = None   # (L, lat, lon|1) for 'from_file'
+        self.u_spec = None      # (L, lat, 1) zonal-mean wind targets
+        self.v_spec = None
 
     def __call__(self, u, v, t, p_full, psg, coszen=None) -> GridTendencies:
         """All fields level-first (L, lat, lon); psg (lat, lon).
@@ -87,12 +96,15 @@ class HSForcing:
 
         p_norm = p_full / c.P00
         ln_p = jnp.log(p_norm)
-        if c.equilibrium_t_option == "exoplanet" and coszen is not None:
-            t_star = c.t_zero - c.delh * (1.0 - coszen) - c.eps * self.sin_lat
-            the = t_star[None] - c.delv * coszen[None] * ln_p
+        if c.equilibrium_t_option == "from_file" and self.teq_field is not None:
+            teq = jnp.broadcast_to(self.teq_field, t.shape)
         else:
-            the = self.t_star_lat[None] - c.delv * self.cos_lat_2[None] * ln_p
-        teq = jnp.maximum(the * p_norm**kappa, self.tstr[None])
+            if c.equilibrium_t_option == "exoplanet" and coszen is not None:
+                t_star = c.t_zero - c.delh * (1.0 - coszen) - c.eps * self.sin_lat
+                the = t_star[None] - c.delv * coszen[None] * ln_p
+            else:
+                the = self.t_star_lat[None] - c.delv * self.cos_lat_2[None] * ln_p
+            teq = jnp.maximum(the * p_norm**kappa, self.tstr[None])
 
         sigma = p_full / psg[None]
         sfac = jnp.where(
@@ -103,9 +115,17 @@ class HSForcing:
         tdamp = self.tka + (self.tks - self.tka) * self.cos_lat_4[None] * sfac
         dt_t = -tdamp * (t - teq)
 
-        vfac = self.vkf * sfac
-        dt_u = -vfac * u
-        dt_v = -vfac * v
+        if c.relax_to_specified_wind and self.u_spec is not None:
+            # relax zonal means toward the target at every level, rate vkf
+            # (hs_forcing.F90:641-655)
+            umean = u.mean(axis=-1, keepdims=True)
+            vmean = v.mean(axis=-1, keepdims=True)
+            dt_u = jnp.broadcast_to((self.u_spec - umean) * self.vkf, u.shape)
+            dt_v = jnp.broadcast_to((self.v_spec - vmean) * self.vkf, v.shape)
+        else:
+            vfac = self.vkf * sfac
+            dt_u = -vfac * u
+            dt_v = -vfac * v
         if c.do_conserve_energy:
             dt_t = dt_t - (u * dt_u + v * dt_v) / C.cp_air
 

@@ -96,6 +96,7 @@ class TestVertAdvection:
         dp = np.ones((3, 3, 8))
         r = np.full((3, 3, 8), 5.0)
         for scheme in (va.SECOND_CENTERED, va.SECOND_CENTERED_WTS,
+                       va.FOURTH_CENTERED, va.FOURTH_CENTERED_WTS,
                        va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC):
             out = np.asarray(va.vert_advection(100.0, jnp.asarray(w), jnp.asarray(dp),
                                                jnp.asarray(r), scheme))
@@ -110,6 +111,34 @@ class TestVertAdvection:
         out = np.asarray(va.vert_advection(1.0, jnp.asarray(w), jnp.asarray(dp),
                                            jnp.asarray(r), va.SECOND_CENTERED))
         np.testing.assert_allclose(out[0, 0, 1:-1], -2.0 * 0.3, rtol=1e-12)
+
+    def test_fourth_centered_exact_for_cubic(self):
+        # 4th-order interface interpolation is exact for cubics sampled on a
+        # uniform ladder: advective tendency of r = k^3 equals -w dr/dp at
+        # interfaces (vert_advection.F90:239-273)
+        L = 12
+        w = np.full((1, 1, L + 1), 2.0)
+        dp = np.full((1, 1, L), 1.0)
+        k = np.arange(L, dtype=float)
+        r = (k**2).reshape(1, 1, L)
+        out = np.asarray(va.vert_advection(1.0, jnp.asarray(w), jnp.asarray(dp),
+                                           jnp.asarray(r), va.FOURTH_CENTERED))
+        # interior cells away from the 2nd-order boundary interfaces
+        expect = -2.0 * 2.0 * k  # -w dr/dp, dr/dp = 2k
+        np.testing.assert_allclose(out[0, 0, 2:-2], expect[2:-2], rtol=1e-12)
+
+    def test_fourth_wts_matches_fourth_on_uniform(self):
+        L = 10
+        rng = np.random.default_rng(3)
+        w = rng.standard_normal((2, 2, L + 1))
+        w[..., 0] = w[..., -1] = 0.0
+        dp = np.full((2, 2, L), 7.0)
+        r = rng.standard_normal((2, 2, L))
+        a = np.asarray(va.vert_advection(1.0, jnp.asarray(w), jnp.asarray(dp),
+                                         jnp.asarray(r), va.FOURTH_CENTERED))
+        b = np.asarray(va.vert_advection(1.0, jnp.asarray(w), jnp.asarray(dp),
+                                         jnp.asarray(r), va.FOURTH_CENTERED_WTS))
+        np.testing.assert_allclose(a, b, atol=1e-12)
 
 
 class TestHeldSuarez:
@@ -368,3 +397,41 @@ class TestRhomboidal:
         assert np.isfinite(float(d["umax"]))
         assert 100.0 < float(d["tmin"]) and float(d["tmax"]) < 500.0
         assert abs(float(d["mean_ps"]) - 101325.0) < 1.0
+
+
+class TestHSForcingOptions:
+    """hs_forcing equilibrium_t_option='from_file' and
+    relax_to_specified_wind (hs_forcing.F90:96-100, 641-655)."""
+
+    def _forcing(self, **kw):
+        from isca_tpu.physics.hs_forcing import HSForcing, HSForcingConfig
+        lats = jnp.linspace(-1.2, 1.2, 6)
+        return HSForcing(HSForcingConfig(**kw), lats), lats
+
+    def test_teq_from_file(self):
+        f, lats = self._forcing(equilibrium_t_option="from_file", ks=-1e30, ka=-1e30)
+        L, nlat, nlon = 4, 6, 8
+        f.teq_field = jnp.full((L, nlat, 1), 250.0)
+        t = jnp.full((L, nlat, nlon), 260.0)
+        p_full = jnp.broadcast_to(
+            jnp.linspace(2e4, 9e4, L)[:, None, None], t.shape)
+        psg = jnp.full((nlat, nlon), 1e5)
+        g = f(jnp.zeros_like(t), jnp.zeros_like(t), t, p_full, psg)
+        # relaxation pulls toward 250 K everywhere: dt_t < 0 uniformly
+        assert (np.asarray(g.dt) < 0).all()
+
+    def test_relax_to_specified_wind(self):
+        f, lats = self._forcing(relax_to_specified_wind=True, kf=-1.0)
+        L, nlat, nlon = 3, 6, 8
+        f.u_spec = jnp.full((L, nlat, 1), 10.0)
+        f.v_spec = jnp.zeros((L, nlat, 1))
+        u = jnp.zeros((L, nlat, nlon))
+        v = jnp.zeros((L, nlat, nlon))
+        t = jnp.full((L, nlat, nlon), 280.0)
+        p_full = jnp.broadcast_to(
+            jnp.linspace(2e4, 9e4, L)[:, None, None], u.shape)
+        psg = jnp.full((nlat, nlon), 1e5)
+        g = f(u, v, t, p_full, psg)
+        vkf = 1.0 / 86400.0
+        np.testing.assert_allclose(np.asarray(g.du), 10.0 * vkf, rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(g.dv), 0.0, atol=1e-12)
