@@ -65,8 +65,14 @@ class HeldSuarezModel:
         state, _ = jax.lax.scan(body, state, None, length=num_steps)
         return state
 
-    def diag_fields(self, state: PrimitiveState) -> dict[str, jax.Array]:
-        """Standard 'dynamics' module diagnostic fields (SURVEY.md B.2 core set)."""
+    def diag_fields(self, state: PrimitiveState, extended: bool = False
+                    ) -> dict[str, jax.Array]:
+        """Standard 'dynamics' module diagnostic fields (SURVEY.md B.2).
+
+        extended=True adds heights/pressures/slp/wspd, eddy covariance
+        products, tracer fluxes, EKE/vort_norm (spectral_diagnostics set)."""
+        if extended:
+            return self.core.spectral_diagnostics(state, self.surf_geopotential)
         return {
             "ps": state.psg.curr,
             "ucomp": state.ug.curr,

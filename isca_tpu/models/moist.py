@@ -232,8 +232,18 @@ class GreyMoistModel:
         state, _ = jax.lax.scan(body, state, None, length=num_steps)
         return state
 
-    def diag_fields(self, state: GreyMoistState) -> dict[str, jax.Array]:
-        """Standard diagnostic fields ('dynamics' + moist additions)."""
+    def diag_fields(self, state: GreyMoistState, extended: bool = False
+                    ) -> dict[str, jax.Array]:
+        """Standard diagnostic fields ('dynamics' + moist additions).
+
+        extended=True returns the reference's full spectral_diagnostics set
+        (SURVEY.md B.2) plus t_surf."""
+        if extended:
+            out = self.core.spectral_diagnostics(
+                state.dyn, self.surf_geopotential,
+                use_virtual_temperature=self.config.core.use_virtual_temperature)
+            out["t_surf"] = state.t_surf
+            return out
         d = state.dyn
         return {
             "ps": d.psg.curr,

@@ -435,3 +435,52 @@ class TestHSForcingOptions:
         vkf = 1.0 / 86400.0
         np.testing.assert_allclose(np.asarray(g.du), 10.0 * vkf, rtol=1e-6)
         np.testing.assert_allclose(np.asarray(g.dv), 0.0, atol=1e-12)
+
+
+class TestSpectralDiagnostics:
+    """Full 'dynamics' diagnostic set (spectral_dynamics.F90:1709-1860)."""
+
+    def test_extended_fields_present_and_consistent(self):
+        model = hs_model()
+        s = jax.jit(lambda s: model.run(s, 12))(model.initial_state())
+        d = jax.jit(lambda s: model.diag_fields(s, extended=True))(s)
+        L = model.core.config.num_levels
+        nlat, nlon = model.core.T.grid_shape
+        for name in ("pres_full", "height", "wspd", "ucomp_sq", "ucomp_vcomp",
+                     "omega_temp", "vcomp_vor", "ucomp_height"):
+            assert d[name].shape == (L, nlat, nlon), name
+        assert d["pres_half"].shape == (L + 1, nlat, nlon)
+        assert d["slp"].shape == (nlat, nlon)
+        np.testing.assert_allclose(np.asarray(d["wspd"]),
+                                   np.sqrt(np.asarray(d["ucomp"])**2
+                                           + np.asarray(d["vcomp"])**2), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(d["ucomp_vcomp"]),
+                                   np.asarray(d["ucomp"]) * np.asarray(d["vcomp"]),
+                                   atol=1e-12)
+        # flat topography: slp == ps
+        np.testing.assert_allclose(np.asarray(d["slp"]), np.asarray(d["ps"]),
+                                   rtol=1e-10)
+        # EKE: positive scalar, small vs total KE early in spinup
+        assert float(d["EKE"]) >= 0.0 and np.isfinite(float(d["EKE"]))
+        assert np.isfinite(float(d["vort_norm"]))
+        # heights decrease with level index (level L-1 is the bottom)
+        z = np.asarray(d["height"])
+        assert (np.diff(z, axis=0) < 0).all()
+        stat = model.core.static_diag_fields()
+        assert stat["pk"].shape == (L + 1,) and stat["zsurf"].shape == (nlat, nlon)
+
+    def test_slp_with_topography(self):
+        # raised topography -> slp > ps over the mountain
+        model = hs_model()
+        T = model.core.T
+        lat2d = np.asarray(T.lats)[:, None] * np.ones((1, T.nlon))
+        lon2d = np.ones((T.nlat, 1)) * np.asarray(T.lons)[None, :]
+        zs = 2000.0 * np.exp(-((np.degrees(lat2d) - 40) ** 2 / 100.0)
+                             - ((np.degrees(lon2d) - 90) ** 2 / 100.0))
+        model.surf_geopotential = jnp.asarray(zs * model.core.C.grav, jnp.float64)
+        model.core.surf_geopotential = model.surf_geopotential
+        s = model.initial_state()
+        s = jax.jit(lambda s: model.run(s, 6))(s)
+        d = model.diag_fields(s, extended=True)
+        ratio = np.asarray(d["slp"]) / np.asarray(d["ps"])
+        assert ratio[zs > 500].min() > 1.01
