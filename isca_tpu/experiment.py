@@ -74,6 +74,37 @@ class Experiment(EventEmitter):
     def _restart_path(self, i: int) -> str:
         return os.path.join(self.datadir, "restarts", f"res{i:04d}.npz")
 
+    def derive(self, name: str, model=None, diag_table=None) -> "Experiment":
+        """A derived experiment sharing this one's configuration but with a
+        new name (and optionally a different model/diag table) — the
+        reference's Experiment.derive (experiment.py:366-373)."""
+        return Experiment(
+            name, model or self.model,
+            diag_table if diag_table is not None else self.diag_table,
+            datadir=os.path.dirname(self.datadir) or ".",
+            json_logging=self.json_logging,
+            disk_limit_gb=self.disk_limit_gb,
+            disk_cutoff_gb=self.disk_cutoff_gb,
+        )
+
+    def prune_restarts(self, keep_every: int = 12, keep_last: int = 1) -> list[str]:
+        """Delete intermediate restart archives, keeping every `keep_every`-th
+        segment and the most recent `keep_last` (isca/util.py:86-206
+        restart-pruning utilities). Returns the deleted paths."""
+        rdir = os.path.join(self.datadir, "restarts")
+        files = sorted(f for f in os.listdir(rdir)
+                       if f.startswith("res") and f.endswith(".npz"))
+        deleted = []
+        keep_tail = set(files[-keep_last:]) if keep_last > 0 else set()
+        for f in files:
+            idx = int(f[3:7])
+            if f in keep_tail or (keep_every > 0 and idx % keep_every == 0):
+                continue
+            path = os.path.join(rdir, f)
+            os.remove(path)
+            deleted.append(path)
+        return deleted
+
     # ------------------------------------------------------------------
     def run(self, i: int, days: int = 30, restart_file: str | None = None):
         """Run segment i for `days` model days; chain from res{i-1} if present."""

@@ -358,3 +358,46 @@ class TestAlertsAndProvenance:
         # provenance file written before the abort
         assert os.path.exists(os.path.join(
             str(tmp_path), "alert_run", "run0001", "git_hash_used.txt"))
+
+
+class TestLogProgressDerive:
+    def test_colored_formatter(self):
+        import logging
+        from isca_tpu.utils.loghandler import ColoredFormatter, enable_colored_logging
+        rec = logging.LogRecord("isca_tpu", logging.WARNING, "x", 1, "hi", (), None)
+        colored = ColoredFormatter(use_color=True).format(rec)
+        plain = ColoredFormatter(use_color=False).format(rec)
+        assert "\033[33m" in colored and "hi" in colored
+        assert "\033" not in plain
+        log = enable_colored_logging()
+        n = len(log.handlers)
+        assert enable_colored_logging() is log          # idempotent
+        assert len(log.handlers) == n
+
+    def test_exp_progress_and_derive(self, tmp_path):
+        import io
+        from isca_tpu.utils.loghandler import exp_progress
+        model = HeldSuarezModel(HeldSuarezConfig(core=PrimitiveConfig(
+            resolution="T21", num_levels=8, dt=1800.0, dtype=jnp.float64)))
+        exp = Experiment("prog_test", model, None, datadir=str(tmp_path))
+        buf = io.StringIO()
+        with exp_progress(exp, description="t", out=buf) as p:
+            p._bar = None      # force the plain-stream path even if tqdm exists
+            exp.run(1, days=1)
+        assert not exp._events.get("run:progress")      # handler detached
+        d = exp.derive("prog_test_derived")
+        assert d.model is exp.model
+        assert d.datadir.endswith("prog_test_derived")
+        d.run(1, days=1)
+
+    def test_prune_restarts(self, tmp_path):
+        model = HeldSuarezModel(HeldSuarezConfig(core=PrimitiveConfig(
+            resolution="T21", num_levels=8, dt=1800.0, dtype=jnp.float64)))
+        exp = Experiment("prune_test", model, None, datadir=str(tmp_path))
+        rdir = os.path.join(str(tmp_path), "prune_test", "restarts")
+        for i in range(1, 8):
+            open(os.path.join(rdir, f"res{i:04d}.npz"), "wb").close()
+        deleted = exp.prune_restarts(keep_every=3, keep_last=1)
+        left = sorted(os.listdir(rdir))
+        assert left == ["res0003.npz", "res0006.npz", "res0007.npz"], left
+        assert len(deleted) == 4
