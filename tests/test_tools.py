@@ -319,3 +319,47 @@ class TestCreateEra5Topography:
         from isca_tpu.utils.input_files import load_topography
         zs_model = load_topography(str(path), lats, lons, var="zsurf")
         np.testing.assert_allclose(zs_model, zs_t, atol=1e-3)
+
+
+class TestTopogRegularization:
+    """Lindberg & Broccoli (1996) ocean topography smoothing
+    (topog_regularization.F90: compute_lambda + regularize)."""
+
+    def _setup(self):
+        import numpy as np
+        from isca_tpu.spectral import transforms as tr
+        T = tr.make_transforms("T21", dtype=jnp.float64)
+        lat = np.degrees(np.asarray(T.lats))[:, None] * np.ones((1, T.nlon))
+        lon = np.ones((T.nlat, 1)) * np.degrees(np.asarray(T.lons))[None, :]
+        land = ((lon > 60) & (lon < 150) & (lat > 0) & (lat < 60))
+        rng = np.random.default_rng(0)
+        # band-limited rough topography: continents + noisy ocean floor
+        zs = 2500.0 * np.exp(-((lat - 30) ** 2 + (lon - 100) ** 2) / 400.0)
+        zs += 300.0 * rng.standard_normal(zs.shape)
+        zs = np.asarray(tr.spec_to_grid(T, tr.grid_to_spec(T, jnp.asarray(zs))))
+        return T, zs * 9.8, ~land
+
+    def test_regularize_reduces_ocean_roughness(self):
+        from isca_tpu.utils.topography import regularize_topography
+        T, h, ocean = self._setup()
+        smoothed, frac = regularize_topography(T, h, ocean, lam=3.0e-5)
+        assert 0.0 < frac < 1.0
+        # smoothed ocean is smoother: compare laplacian power over ocean
+        from isca_tpu.spectral import transforms as tr
+        lap = lambda f: np.asarray(tr.spec_to_grid(
+            T, tr.laplacian(T, tr.grid_to_spec(T, jnp.asarray(f)))))
+        r0 = (lap(h)[ocean] ** 2).mean()
+        r1 = (lap(smoothed)[ocean] ** 2).mean()
+        assert r1 < 0.6 * r0
+
+    def test_compute_lambda_hits_target(self):
+        from isca_tpu.utils.topography import smooth_ocean_topography
+        T, h, ocean = self._setup()
+        smoothed, lam, frac = smooth_ocean_topography(
+            T, h, ocean, ocean_topog_smoothing=0.9)
+        assert abs(frac - 0.9) < 1.0e-3
+        assert lam > 0
+        assert np.isfinite(smoothed).all()
+        # land-dominated large-scale structure is retained (correlation)
+        c = np.corrcoef(smoothed[~ocean], h[~ocean])[0, 1]
+        assert c > 0.98
