@@ -107,6 +107,18 @@ class RRTMRadiation:
         use = config.lw_scheme
         if use == "rrtmg" or (use == "auto" and
                               (config.lw_kg_path or kg_available())):
+            import logging
+            import numpy as _np
+            _kg_probe = _np.load(config.lw_kg_path) if config.lw_kg_path \
+                else _np.load(str(__import__(
+                    "isca_tpu.physics.rrtmg_lw", fromlist=["KG_NPZ"]).KG_NPZ))
+            if "synthetic" in getattr(_kg_probe, "files", ()):
+                logging.getLogger("isca_tpu").warning(
+                    "RRTMG-LW is using SYNTHETIC correlated-k tables "
+                    "(shape-correct, physically plausible, NOT AER-accurate). "
+                    "Supply AER's rrtmg_lw.nc via tools/extract_rrtmg_lw.py "
+                    "for production radiation — the same external data file "
+                    "the reference loads at runtime (rrtmg_lw_read_nc.f90).")
             self.lw_rrtmg = RRTMGLw(
                 RRTMGLwConfig(co2vmr=config.co2ppmv * 1e-6,
                               n2ovmr=config.n2ovmr, ch4vmr=config.ch4vmr,
