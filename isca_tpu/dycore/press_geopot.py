@@ -51,7 +51,14 @@ def pressure_variables(xp, pk, bk, surface_p, top_is_zero: bool,
     if option != "simmons_and_burridge":
         raise ValueError(f"invalid vert_difference_option {option!r}")
     dp = p_half[..., 1:] - p_half[..., :-1]
-    alpha = 1.0 - p_half[..., :-1] * (ln_p_half[..., 1:] - ln_p_half[..., :-1]) / dp
+    # ln p(k+1) - ln p(k) computed as log1p(dp/p(k)): the difference of two
+    # O(10) logs cancels to O(dp/p), and on TPU the log approximation's
+    # ~1e-5 absolute error would be amplified ~p/dp times through alpha
+    # (negative layer thicknesses for thin layers; observed with the
+    # Frierson ladder).  log1p keeps the error at the ulp of the difference.
+    safe_lower = xp.where(p_half[..., :-1] > 0.0, p_half[..., :-1], 1.0)
+    dlnp = xp.log1p(dp / safe_lower)
+    alpha = 1.0 - p_half[..., :-1] * dlnp / dp
     ln_p_full = ln_p_half[..., 1:] - alpha
     if top_is_zero:
         # ln_top_level_factor = -1 (press_and_geopot.F90): ln p_full(top) = ln p_half(1) - 1
@@ -62,14 +69,24 @@ def pressure_variables(xp, pk, bk, surface_p, top_is_zero: bool,
 
 
 def compute_geopotential(xp, rdgas, virtual_t, ln_p_half, ln_p_full, surf_geopotential,
-                         top_is_zero: bool):
+                         top_is_zero: bool, p_half=None):
     """Hydrostatic integration (press_and_geopot.F90:314-359).
 
     virtual_t: (..., L); ln_p_half: (..., L+1); ln_p_full: (..., L);
     surf_geopotential: (...). Returns (geopot_full (..., L), geopot_half (..., L+1)).
     geopot_half[..., 0] is 0 for a p=0 top (infinite height, unused).
+
+    Pass p_half to compute the half-level log-pressure increments
+    cancellation-free via log1p (see pressure_variables) — required for
+    accurate layer thicknesses on TPU, where the log approximation's
+    absolute error is comparable to the increment for thin layers.
     """
-    dlnp = ln_p_half[..., 1:] - ln_p_half[..., :-1]          # (..., L)
+    if p_half is not None:
+        dp = p_half[..., 1:] - p_half[..., :-1]
+        safe_lower = xp.where(p_half[..., :-1] > 0.0, p_half[..., :-1], 1.0)
+        dlnp = xp.log1p(dp / safe_lower)
+    else:
+        dlnp = ln_p_half[..., 1:] - ln_p_half[..., :-1]      # (..., L)
     incr = rdgas * virtual_t * dlnp
     if top_is_zero:
         incr = xp.concatenate([xp.zeros_like(incr[..., :1]), incr[..., 1:]], axis=-1)

@@ -259,7 +259,8 @@ class PrimitiveCore:
             virt_t = t * (1.0 + (C.rvgas / C.rdgas - 1.0) * q)
         z_full, z_half = pg.compute_geopotential(
             jnp, C.rdgas, _lev_last(virt_t), _lev_last(ln_p_half),
-            _lev_last(ln_p_full), surf_geopotential, self.top_is_zero)
+            _lev_last(ln_p_full), surf_geopotential, self.top_is_zero,
+            p_half=_lev_last(p_half))
         z_full = _lev_first(z_full) / C.grav
         z_half = _lev_first(z_half) / C.grav
 
@@ -481,7 +482,7 @@ class PrimitiveCore:
         # geopotential (hydrostatic)
         phig_full, _ = pg.compute_geopotential(
             jnp, C.rdgas, _lev_last(virt_t), _lev_last(ln_p_half), _lev_last(ln_p_full),
-            surf_geopotential, self.top_is_zero,
+            surf_geopotential, self.top_is_zero, p_half=_lev_last(p_half),
         )
         phig_full = _lev_first(phig_full)
 

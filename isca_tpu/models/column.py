@@ -112,6 +112,7 @@ class ColumnModel:
         geo_f, geo_h = pgm.compute_geopotential(
             jnp, C.rdgas, state.t.curr, self.ln_p_half, self.ln_p_full,
             jnp.zeros((c.nlat, c.nlon), c.dtype), self.top_is_zero,
+            p_half=self.p_half,
         )
         day = C.seconds_per_day
         gmt = jnp.mod(state.time_seconds, day) / day * 2.0 * jnp.pi

@@ -165,7 +165,7 @@ class GreyMoistModel:
             )
             geo_f, geo_h = pgm.compute_geopotential(
                 jnp, C.rdgas, ll(tg), lph, lpf, self.surf_geopotential,
-                core.top_is_zero,
+                core.top_is_zero, p_half=ph,
             )
             return ph, pf, geo_f / C.grav, geo_h / C.grav
 
@@ -277,3 +277,69 @@ class GreyMoistModel:
                 "q_zonal": q.mean(axis=2),
             }
         return _diag(state)
+
+
+# Frierson 2006 sigma ladder (reference frierson_test_case.py vert_coordinate_nml)
+FRIERSON_BK = (
+    0.000000, 0.0117665, 0.0196679, 0.0315244, 0.0485411, 0.0719344,
+    0.1027829, 0.1418581, 0.1894648, 0.2453219, 0.3085103, 0.3775033,
+    0.4502789, 0.5244989, 0.5977253, 0.6676441, 0.7322627, 0.7900587,
+    0.8400683, 0.8819111, 0.9157609, 0.9422770, 0.9625127, 0.9778177,
+    0.9897489, 1.0000000,
+)
+
+
+def frierson_test_case_config(**core_overrides) -> GreyMoistConfig:
+    """The reference's frierson_test_case.py configuration, faithfully.
+
+    GreyMoistConfig() carries the *namelist defaults* (as the reference
+    modules do); the published Frierson test case overrides them — shallow
+    2.5 m slab with albedo 0.31 (Jucker & Gerber 2017 CTRL), atm_abs 0.2,
+    Frierson's own sigma ladder, rhbm 0.7, low roughness lengths, zero
+    gustiness, and an upper Rayleigh sponge (reference:
+    exp/test_cases/frierson/frierson_test_case.py:49-171).
+    """
+    from isca_tpu.physics.damping_driver import DampingDriverConfig
+    from isca_tpu.physics.lscale_cond import LscaleCondConfig
+    from isca_tpu.physics.mixed_layer import MixedLayerConfig
+    from isca_tpu.physics.qe_moist_convection import QEMoistConvectionConfig
+    from isca_tpu.physics.two_stream_gray import TwoStreamConfig
+
+    core = PrimitiveConfig(
+        resolution="T42",
+        num_levels=25,
+        dt=720.0,
+        vert_coord_option="input",
+        vert_coord_kwargs=(
+            ("bk", FRIERSON_BK),
+            ("pk", (0.0,) * len(FRIERSON_BK)),
+        ),
+        damping_order=4,
+        do_water_correction=True,
+        water_correction_limit=200.0e2,
+        reference_sea_level_press=1.0e5,
+        valid_range_t=(100.0, 800.0),
+        use_virtual_temperature=False,
+        robert_coeff=0.03,
+        **core_overrides,
+    )
+    phys = MoistPhysicsConfig(
+        convection_scheme="SIMPLE_BETTS_MILLER",
+        convection=QEMoistConvectionConfig(rhbm=0.7, Tmin=160.0),
+        condensation=LscaleCondConfig(do_simple=True, do_evap=True),
+        radiation=TwoStreamConfig(atm_abs=0.2),
+        mixed_layer=MixedLayerConfig(
+            depth=2.5, albedo_value=0.31, tconst=285.0,
+            prescribe_initial_dist=True, evaporation=True,
+        ),
+        do_damping=True,
+        damping=DampingDriverConfig(
+            do_rayleigh=True, trayfric=-0.25, sponge_pbottom=5000.0,
+            do_conserve_energy=True,
+        ),
+        roughness_mom=3.21e-05,
+        roughness_heat=3.21e-05,
+        roughness_moist=3.21e-05,
+        gust_const=0.0,
+    )
+    return GreyMoistConfig(core=core, physics=phys)

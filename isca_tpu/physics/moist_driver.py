@@ -103,6 +103,7 @@ class MoistPhysicsConfig:
     rrtm: "RRTMConfig | None" = None       # used when radiation_scheme="rrtm"
     socrates: "SocratesConfig | None" = None   # radiation_scheme="socrates"
     constants: Constants = EARTH
+    debug_chain: bool = False   # expose BL/vert_diff/mixed-layer intermediates in diag
 
 
 class RadCache(NamedTuple):
@@ -513,6 +514,21 @@ class MoistPhysics:
             do_conserve_energy=cfg.do_conserve_energy_diff,
         )
         dt_u, dt_v = down.dt_u, down.dt_v
+        if cfg.debug_chain:
+            diag.update(
+                dbg_km=bl_km, dbg_kt=bl_kt,
+                dbg_dtmass=down.tri.dtmass, dbg_dflux_t=down.tri.dflux_t,
+                dbg_dflux_q=down.tri.dflux_q, dbg_delta_t=down.tri.delta_t,
+                dbg_delta_q=down.tri.delta_q, dbg_e=down.tri.e,
+                dbg_f_t=down.tri.f_t, dbg_f_q=down.tri.f_q,
+            )
+            if sf is not None:
+                diag.update(
+                    dbg_dhdt_surf=sf.dhdt_surf, dbg_dedt_surf=sf.dedt_surf,
+                    dbg_dhdt_atm=sf.dhdt_atm, dbg_dedq_atm=sf.dedq_atm,
+                    dbg_flux_q=sf.flux_q, dbg_drag_q=sf.drag_q
+                    if hasattr(sf, "drag_q") else sf.flux_q,
+                )
 
         if cfg.mixed_layer_bc and sf is not None:
             from isca_tpu.physics.mixed_layer import heat_capacity_field
@@ -543,6 +559,9 @@ class MoistPhysics:
             tri = down.tri._replace(delta_t=ml.delta_t, delta_q=ml.delta_q)
             t_surf_out = ml.t_surf
             diag["t_surf"] = ml.t_surf
+            if cfg.debug_chain:
+                diag.update(dbg_ml_delta_t=ml.delta_t, dbg_ml_delta_q=ml.delta_q,
+                            dbg_delta_t_surf=ml.delta_t_surf)
         else:
             # giant-planet / no-slab: zero-exchange closure (reference gp path)
             tri = down.tri

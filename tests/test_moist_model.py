@@ -186,3 +186,64 @@ class TestRadiationLonstep:
         spread = np.ptp(tdt, axis=1).max()
         scale = np.abs(tdt).max()
         assert spread <= 1e-6 * max(scale, 1e-30), (spread, scale)
+
+
+class TestFriersonTestCaseConfig:
+    """The faithful Frierson-2006 configuration (reference
+    frierson_test_case.py) — its thin 'input' sigma ladder exposed a
+    catastrophic log-cancellation in the Simmons-Burridge full-level
+    pressures on TPU (negative layer thicknesses -> vert_diff blow-up);
+    pressure_variables now uses log1p. These guard that property."""
+
+    def test_builds_and_steps_finite(self):
+        import jax
+        import jax.numpy as jnp
+
+        from isca_tpu.models.moist import (GreyMoistModel,
+                                           frierson_test_case_config)
+
+        m = GreyMoistModel(frierson_test_case_config())
+        s = m.initial_state()
+        s = jax.jit(lambda s: m.run(s, 6, first=True))(s)
+        assert bool(jnp.isfinite(s.dyn.tg.curr).all())
+        assert bool(jnp.isfinite(s.t_surf).all())
+
+    def test_f32_layer_thickness_positive(self):
+        """f32 pressure variables on the Frierson ladder must give strictly
+        increasing full-level pressures and positive layer thicknesses, and
+        alpha must match the f64 computation to f32 roundoff (the log-diff
+        formulation amplified log error ~p/dp times)."""
+        import numpy as np
+
+        from isca_tpu.dycore import press_geopot as pg
+        from isca_tpu.models.moist import FRIERSON_BK
+
+        bk = np.asarray(FRIERSON_BK)
+        pk = np.zeros_like(bk)
+        ps64 = np.array([101325.0, 96000.0, 107000.0])
+        _, _, pf64, lpf64 = pg.pressure_variables(np, pk, bk, ps64, True)
+        _, _, pf32, lpf32 = pg.pressure_variables(
+            np, pk.astype(np.float32), bk.astype(np.float32),
+            ps64.astype(np.float32), True)
+        assert (np.diff(pf32, axis=-1) > 0).all()
+        np.testing.assert_allclose(lpf32, lpf64, atol=5e-6)
+
+    def test_geopotential_log1p_path_matches(self):
+        import numpy as np
+
+        from isca_tpu.dycore import press_geopot as pg
+        from isca_tpu.models.moist import FRIERSON_BK
+
+        bk = np.asarray(FRIERSON_BK)
+        pk = np.zeros_like(bk)
+        ps = np.array([101325.0])
+        ph, lph, pf, lpf = pg.pressure_variables(np, pk, bk, ps, True)
+        t = np.full((1, len(bk) - 1), 280.0)
+        zs = np.zeros(1)
+        gf_a, gh_a = pg.compute_geopotential(np, 287.04, t, lph, lpf, zs, True)
+        gf_b, gh_b = pg.compute_geopotential(np, 287.04, t, lph, lpf, zs, True,
+                                             p_half=ph)
+        np.testing.assert_allclose(gf_b, gf_a, rtol=1e-12)
+        np.testing.assert_allclose(gh_b, gh_a, rtol=1e-12)
+        # thicknesses strictly positive
+        assert (np.diff(gf_b[0]) < 0).all()

@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""Climate gate: long-run climatology checks against published results.
+
+BASELINE.md's correctness targets include a climate gate - the spun-up
+zonal-mean circulation must match the literature that defines each test case:
+
+* Held & Suarez (1994, BAMS): eddy-driven midlatitude jets of ~30 m/s near
+  sigma~0.25 at 40-50 deg, easterlies aloft in the tropics, surface westerlies
+  in midlatitudes, polar-vortex-free (no stratosphere), T ~ 200 K tropopause.
+* Frierson et al. (2006, JAS) grey-radiation aquaplanet: a single ITCZ with
+  tropical precipitation maximum, subtropical dry zones, midlatitude storm
+  tracks, jet near 45 deg, warm (~295-300 K) tropical SST-like t_surf.
+
+Run on TPU (fast: ~1500 model days in under a minute) or CPU:
+
+    python tools/climate_gate.py [--days 1200] [--json out.json]
+
+Prints one PASS/FAIL line per criterion and a JSON summary.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+
+
+def zonal_time_mean(model, state, nsteps_spinup, nsteps_avg, accum_fields):
+    """Run spinup, then accumulate zonal means of requested diagnostics."""
+
+    # Dispatch in ~day-sized jit chunks (very long single scans stall the
+    # remote compiler; 1 ms/dispatch is negligible at this chunk size).
+    CH = 256
+    run_first = jax.jit(lambda s: model.run(s, CH, first=True))
+    run_chunk = jax.jit(lambda s: model.run(s, CH, first=False))
+
+    t0 = time.time()
+    state = run_first(state)
+    for _ in range(max(nsteps_spinup // CH - 1, 0)):
+        state = run_chunk(state)
+    state = jax.block_until_ready(state)
+    print(f"  spinup {nsteps_spinup} steps: {time.time() - t0:.0f}s", flush=True)
+
+    def avg_chunk(carry):
+        state, accum = carry
+
+        def body(c, _):
+            st, acc = c
+            st = model.step(st, first=False)
+            acc = jax.tree_util.tree_map(
+                lambda a, f: a + f, acc, accum_fields(st))
+            return (st, acc), None
+
+        return jax.lax.scan(body, (state, accum), None, length=CH)[0]
+
+    t0 = time.time()
+    zero = jax.jit(
+        lambda s: jax.tree_util.tree_map(jnp.zeros_like, accum_fields(s))
+    )(state)
+    chunk = jax.jit(avg_chunk)
+    carry = (state, zero)
+    nchunks = max(nsteps_avg // CH, 1)
+    for _ in range(nchunks):
+        carry = chunk(carry)
+    state, acc = jax.block_until_ready(carry)
+    nsteps_done = nchunks * CH
+    print(f"  averaging {nsteps_done} steps: {time.time() - t0:.0f}s", flush=True)
+    return state, jax.tree_util.tree_map(
+        lambda a: np.asarray(a, np.float64) / nsteps_done, acc
+    )
+
+
+def check(name, cond, detail, results):
+    status = "PASS" if cond else "FAIL"
+    print(f"[{status}] {name}: {detail}")
+    results[name] = {"pass": bool(cond), "detail": detail}
+    return cond
+
+
+def gate_held_suarez(days, results, resolution="T85"):
+    from isca_tpu.dycore.primitive import PrimitiveConfig
+    from isca_tpu.models.dry import HeldSuarezConfig, HeldSuarezModel
+
+    core = PrimitiveConfig(resolution=resolution, num_levels=25, dt=600.0,
+                           dtype=jnp.float32)
+    model = HeldSuarezModel(HeldSuarezConfig(core=core))
+    state = model.initial_state()
+    spd = int(86400 / core.dt)
+    spin = (days // 3) * spd
+    avg = (days - days // 3) * spd
+
+    def fields(st):
+        return {"u": st.ug.curr.mean(axis=-1), "t": st.tg.curr.mean(axis=-1)}
+
+    t0 = time.time()
+    state, zm = zonal_time_mean(model, state, spin, avg, fields)
+    wall = time.time() - t0
+    print(f"Held-Suarez {resolution}L25: {days} days in {wall:.0f}s "
+          f"({days * 86400 / wall:,.0f} model-days/day)")
+
+    lats = np.rad2deg(np.asarray(model.core.T.lats))
+    # sigma from even levels
+    L = zm["u"].shape[0]
+    sigma = (np.arange(L) + 0.5) / L
+
+    u, T = zm["u"], zm["t"]
+    # jet: max of zonal wind in each hemisphere
+    nh = lats > 0
+    kjet, jjet = np.unravel_index(np.argmax(u[:, nh]), u[:, nh].shape)
+    ujet = u[:, nh].max()
+    latjet = lats[nh][jjet]
+    sigjet = sigma[kjet]
+    check("hs_jet_strength", 25.0 <= ujet <= 40.0,
+          f"NH jet {ujet:.1f} m/s (HS94 ~30)", results)
+    check("hs_jet_latitude", 35.0 <= latjet <= 55.0,
+          f"at {latjet:.1f} deg (HS94 40-50)", results)
+    check("hs_jet_height", sigjet <= 0.45,
+          f"at sigma={sigjet:.2f} (HS94 ~0.25)", results)
+
+    # tropical upper-level easterlies
+    trop = np.abs(lats) < 10
+    utrop_top = u[sigma < 0.3][:, trop].mean()
+    check("hs_tropical_easterlies", utrop_top < 5.0,
+          f"tropical u(sigma<0.3) mean {utrop_top:.1f} m/s (weak/easterly)", results)
+
+    # surface westerlies in midlatitudes, easterlies in tropics (trade winds)
+    usfc = u[-1]
+    mid = (np.abs(lats) > 35) & (np.abs(lats) < 60)
+    check("hs_surface_westerlies", usfc[mid].mean() > 0.0,
+          f"midlat sfc u {usfc[mid].mean():.1f} m/s (>0)", results)
+    check("hs_trade_easterlies", usfc[trop].mean() < 0.0,
+          f"tropical sfc u {usfc[trop].mean():.1f} m/s (<0)", results)
+
+    # temperature: tropopause ~ 200K minimum, no superrotation artifacts
+    tmin = T[:, trop].min()
+    check("hs_tropopause_temp", 180.0 <= tmin <= 215.0,
+          f"tropical T min {tmin:.0f} K (HS94 ~200)", results)
+    # equator-pole surface temperature contrast roughly delh-driven
+    dT = T[-1][trop].mean() - T[-1][np.abs(lats) > 75].mean()
+    check("hs_meridional_contrast", 15.0 <= dT <= 70.0,
+          f"sfc equator-pole dT {dT:.0f} K (forced by delh=60)", results)
+
+
+def gate_frierson(days, results):
+    from isca_tpu.models.moist import GreyMoistModel, frierson_test_case_config
+
+    model = GreyMoistModel(frierson_test_case_config())
+    state = model.initial_state()
+    spd = int(86400 / model.core.config.dt)
+    spin = (days // 2) * spd
+    avg = (days - days // 2) * spd
+
+    def fields(st):
+        d = {"u": st.dyn.ug.curr.mean(axis=-1),
+             "ts": st.t_surf.mean(axis=-1),
+             "q": st.dyn.tracers["sphum"].curr.mean(axis=-1)}
+        return d
+
+    t0 = time.time()
+    state, zm = zonal_time_mean(model, state, spin, avg, fields)
+    wall = time.time() - t0
+    print(f"Frierson T42L25: {days} days in {wall:.0f}s "
+          f"({days * 86400 / wall:,.0f} model-days/day)")
+
+    lats = np.rad2deg(np.asarray(model.core.T.lats))
+    u, ts, q = zm["u"], zm["ts"], zm["q"]
+    L = u.shape[0]
+    sigma = (np.arange(L) + 0.5) / L
+    trop = np.abs(lats) < 10
+
+    # warm moist tropics
+    check("fr_tropical_tsurf", 285.0 <= ts[trop].mean() <= 310.0,
+          f"tropical t_surf {ts[trop].mean():.1f} K (Frierson ~295-305)", results)
+    check("fr_pole_tsurf", ts[np.abs(lats) > 70].mean() < ts[trop].mean() - 25.0,
+          f"polar t_surf {ts[np.abs(lats) > 70].mean():.1f} K (strong contrast)",
+          results)
+    # boundary-layer specific humidity maximum at the equator
+    qsfc = q[-1]
+    qmaxlat = lats[np.argmax(qsfc)]
+    check("fr_humidity_max_tropics", abs(qmaxlat) < 15.0,
+          f"sfc q max at {qmaxlat:.0f} deg ({qsfc.max() * 1e3:.1f} g/kg)", results)
+    check("fr_humidity_magnitude", 0.008 <= qsfc.max() <= 0.03,
+          f"sfc q max {qsfc.max() * 1e3:.1f} g/kg (Frierson ~15-20)", results)
+    # subtropical/midlatitude jet
+    nh = lats > 0
+    kjet, jjet = np.unravel_index(np.argmax(u[:, nh]), u[:, nh].shape)
+    check("fr_jet", 20.0 <= u[:, nh].max() <= 45.0
+          and 25.0 <= lats[nh][jjet] <= 55.0,
+          f"NH jet {u[:, nh].max():.1f} m/s at {lats[nh][jjet]:.0f} deg, "
+          f"sigma={sigma[kjet]:.2f}", results)
+    # surface wind pattern
+    usfc = u[-1]
+    mid = (np.abs(lats) > 35) & (np.abs(lats) < 60)
+    check("fr_surface_winds", usfc[mid].mean() > 0 and usfc[trop].mean() < 0,
+          f"sfc u: midlat {usfc[mid].mean():.1f}, tropics {usfc[trop].mean():.1f} m/s",
+          results)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--days", type=int, default=1200,
+                   help="Held-Suarez run length (Frierson uses days//2)")
+    p.add_argument("--json", default="")
+    p.add_argument("--only", default="", help="hs | frierson")
+    p.add_argument("--resolution", default="T85", help="Held-Suarez truncation")
+    args = p.parse_args()
+
+    results = {}
+    if args.only in ("", "hs"):
+        gate_held_suarez(args.days, results, resolution=args.resolution)
+    if args.only in ("", "frierson"):
+        gate_frierson(max(args.days // 2, 100), results)
+
+    npass = sum(r["pass"] for r in results.values())
+    print(f"\n{npass}/{len(results)} criteria passed")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(results, f, indent=1)
+    return 0 if npass == len(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
