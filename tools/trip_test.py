@@ -35,11 +35,17 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 
-jax.config.update("jax_enable_x64", True)
-jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp
 import numpy as np
+
+# Builders read DTYPE so tools/tpu_smoke.py can rebuild the same matrix at
+# float32 for on-chip validation. The golden path (main) uses float64 CPU.
+DTYPE = jnp.float64
+
+
+def _use_cpu_f64():
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "..", "tests",
                            "goldens", "trip_goldens.json")
@@ -55,7 +61,7 @@ ATOL_SCALE = 1e-9      # x field scale
 def _moist_core(L=8, dt=1200.0, **kw):
     from isca_tpu.dycore.primitive import PrimitiveConfig
     return PrimitiveConfig(
-        resolution="T21", num_levels=L, dt=dt, dtype=jnp.float64,
+        resolution="T21", num_levels=L, dt=dt, dtype=DTYPE,
         vert_coord_option="uneven_sigma",
         vert_coord_kwargs=(("scale_heights", 6.0), ("surf_res", 0.5),
                            ("exponent", 7.5)),
@@ -75,7 +81,7 @@ def _moist(phys_kw=None, core_kw=None, land=False):
         lats = np.degrees(np.asarray(model.core.T.lats))
         lons = np.degrees(np.asarray(model.core.T.lons))
         mask, _ = generate_land(lats, lons, land_mode="square")
-        model.set_land(jnp.asarray(mask, jnp.float64))
+        model.set_land(jnp.asarray(mask, DTYPE))
     return model
 
 
@@ -92,7 +98,7 @@ def build_held_suarez():
     from isca_tpu.dycore.primitive import PrimitiveConfig
     from isca_tpu.models.dry import HeldSuarezConfig, HeldSuarezModel
     core = PrimitiveConfig(resolution="T21", num_levels=8, dt=1200.0,
-                           dtype=jnp.float64)
+                           dtype=DTYPE)
     return HeldSuarezModel(HeldSuarezConfig(core=core))
 
 
@@ -100,7 +106,7 @@ def build_axisymmetric():
     from isca_tpu.dycore.primitive import PrimitiveConfig
     from isca_tpu.models.dry import HeldSuarezConfig, HeldSuarezModel
     core = PrimitiveConfig(resolution="T21", num_levels=8, dt=1200.0,
-                           dtype=jnp.float64, make_symmetric=True)
+                           dtype=DTYPE, make_symmetric=True)
     return HeldSuarezModel(HeldSuarezConfig(core=core))
 
 
@@ -120,7 +126,7 @@ def build_top_down_test():
 def build_giant_planet():
     from isca_tpu.models.giant import giant_planet_model
     return giant_planet_model(resolution="T21", num_levels=8, dt=900.0,
-                              dtype=jnp.float64)
+                              dtype=DTYPE)
 
 
 def build_mima():
@@ -178,7 +184,7 @@ def build_socrates_aquaplanet_with_cloud():
 def build_barotropic_vort_eq_stirring():
     from isca_tpu.models.barotropic import BarotropicConfig, BarotropicModel
     cfg = BarotropicConfig(
-        resolution="T21", dt=1200.0, dtype=jnp.float64,
+        resolution="T21", dt=1200.0, dtype=DTYPE,
         initial_zonal_wind="zero", stirring_amplitude=3.0e-11,
         damping_order=2, damping_coeff_r=1.929e-6)
     return BarotropicModel(cfg)
@@ -186,7 +192,7 @@ def build_barotropic_vort_eq_stirring():
 
 def build_shallow_water_stirring():
     from isca_tpu.models.shallow import ShallowConfig, ShallowModel
-    cfg = ShallowConfig(resolution="T21", dt=1200.0, dtype=jnp.float64,
+    cfg = ShallowConfig(resolution="T21", dt=1200.0, dtype=DTYPE,
                         stirring_amplitude=1.0e-11)
     return ShallowModel(cfg)
 
@@ -256,6 +262,7 @@ def compare(name: str, got: dict, golden: dict) -> list[str]:
 
 
 def main():
+    _use_cpu_f64()
     p = argparse.ArgumentParser()
     p.add_argument("--update", action="store_true",
                    help="regenerate the goldens")
