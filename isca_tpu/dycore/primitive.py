@@ -38,7 +38,12 @@ from isca_tpu.dycore import vert_advection as va
 from isca_tpu.dycore import vert_coordinate as vc
 from isca_tpu.dycore.damping import apply_damping, apply_top_sponge, make_damping
 from isca_tpu.dycore.implicit import build_implicit, implicit_correction
-from isca_tpu.dycore.time_integration import TwoLevel, leapfrog_part_a, leapfrog_part_b
+from isca_tpu.dycore.time_integration import (
+    TwoLevel,
+    leapfrog,
+    leapfrog_part_a,
+    leapfrog_part_b,
+)
 from isca_tpu.dycore.water_borrowing import water_borrowing
 from isca_tpu.spectral import transforms as tr
 
@@ -79,6 +84,13 @@ class PrimitiveConfig:
     nlat: int | None = None       # lat_max nml
     num_levels: int = 25
     dt: float = 600.0
+    # dycore substeps per physics step (num_steps nml,
+    # spectral_dynamics.F90:832): physics tendencies are held fixed while the
+    # dynamics advances num_steps times with delta_t/num_steps; non-final
+    # substeps use the inline-complete RAW leapfrog (leapfrog.F90:217-272),
+    # the final substep the deferred part-A/part-B split. Giant-planet-class
+    # runs use num_steps > 1 to stabilize fast gravity waves.
+    num_steps: int = 1
     vert_coord_option: str = "even_sigma"
     vert_difference_option: str = "simmons_and_burridge"  # or 'mcm'
     # MXU matmul precision for the spectral transforms: 'highest' (f32-exact,
@@ -118,6 +130,13 @@ class PrimitiveConfig:
     use_virtual_temperature: bool = False
     constants: Constants = EARTH
     dtype: Any = jnp.float32
+    # multi-device: a jax.sharding.Mesh (axis "x") turns on the shard_map
+    # transpose-method transforms (lat-sharded grid / m-sharded spectral,
+    # lax.all_to_all re-partition — SURVEY §2.9 P1-P3); pad_m_to zero-pads
+    # the m axis so standard truncations shard on any device count
+    # (defaults to the mesh size)
+    mesh: Any = None
+    pad_m_to: int | None = None
 
 
 @partial(
@@ -158,7 +177,9 @@ class PrimitiveCore:
                                     precision=c.transform_precision,
                                     fourier_method=c.fourier_method,
                                     truncation_shape=c.truncation_shape,
-                                    fourier_inc=c.fourier_inc)
+                                    fourier_inc=c.fourier_inc,
+                                    pad_m_to=c.pad_m_to,
+                                    mesh=c.mesh)
         self.tracer_attrs = tuple(tracer_attrs)
         self.fv_geom = fv.make_fv_geometry(self.T) if any(
             a.representation == "grid" for a in self.tracer_attrs
@@ -209,7 +230,7 @@ class PrimitiveCore:
             self.pk_np, self.bk_np,
             num_spherical=self.T.num_spherical,
             radius=self.C.radius,
-            delta_ts=(c.dt, 2.0 * c.dt),
+            delta_ts=(c.dt / c.num_steps, 2.0 * c.dt / c.num_steps),
             t_ref=c.reference_temperature_implicit,
             ps_ref=c.reference_sea_level_press,
             alpha=c.alpha_implicit,
@@ -437,9 +458,32 @@ class PrimitiveCore:
         surf_geopotential,
         first: bool = False,
     ) -> PrimitiveState:
-        """One full semi-implicit leapfrog step. Pure, jittable (first is static)."""
+        """One full semi-implicit leapfrog step (num_steps substeps).
+
+        Pure, jittable (first is static). Physics tendencies are applied
+        identically in every substep (spectral_dynamics.F90:832-845
+        step_loop: dt_*_tmp reset from the physics arrays each pass)."""
+        c = self.config
+        n = c.num_steps
+        for i in range(n):
+            delta_t = (c.dt if (first and i == 0) else 2.0 * c.dt) / n
+            state = self._substep(state, phys, surf_geopotential, delta_t,
+                                  final=(i == n - 1))
+        return state
+
+    def _substep(
+        self,
+        state: PrimitiveState,
+        phys: GridTendencies,
+        surf_geopotential,
+        delta_t: float,
+        final: bool = True,
+    ) -> PrimitiveState:
+        """One dynamics substep; `final` selects the deferred-part-B RAW
+        leapfrog (2level_A/B) vs the inline-complete filter used for
+        non-final substeps (update_tracers/leapfrog selection at
+        spectral_dynamics.F90:919-931, 1147-1180)."""
         c, T, C = self.config, self.T, self.C
-        delta_t = c.dt if first else 2.0 * c.dt
         zero3 = jnp.zeros((c.num_levels,) + T.grid_shape, c.dtype)
         dt_ug = phys.du if phys.du is not None else zero3
         dt_vg = phys.dv if phys.dv is not None else zero3
@@ -529,12 +573,18 @@ class PrimitiveCore:
         dt_divs = apply_top_sponge(self.damping_div, state.divs.prev, dt_divs, delta_t, "div")
         dt_ts = apply_damping(self.damping, state.ts.prev, dt_ts, delta_t)
 
-        # ---- leapfrog part A ----
+        # ---- leapfrog: part A (final substep) or inline-complete RAW ----
         rc, rw = c.robert_coeff, c.raw_filter_coeff
-        lnps, P_lnps = leapfrog_part_a(state.lnps, dt_lnps, delta_t, rc, rw)
-        vors, P_vors = leapfrog_part_a(state.vors, dt_vors, delta_t, rc, rw)
-        divs, P_divs = leapfrog_part_a(state.divs, dt_divs, delta_t, rc, rw)
-        ts, P_ts = leapfrog_part_a(state.ts, dt_ts, delta_t, rc, rw)
+        if final:
+            lnps, P_lnps = leapfrog_part_a(state.lnps, dt_lnps, delta_t, rc, rw)
+            vors, P_vors = leapfrog_part_a(state.vors, dt_vors, delta_t, rc, rw)
+            divs, P_divs = leapfrog_part_a(state.divs, dt_divs, delta_t, rc, rw)
+            ts, P_ts = leapfrog_part_a(state.ts, dt_ts, delta_t, rc, rw)
+        else:
+            lnps = leapfrog(state.lnps, dt_lnps, delta_t, rc, rw)
+            vors = leapfrog(state.vors, dt_vors, delta_t, rc, rw)
+            divs = leapfrog(state.divs, dt_divs, delta_t, rc, rw)
+            ts = leapfrog(state.ts, dt_ts, delta_t, rc, rw)
 
         # ---- synthesize future grid fields (one batched transform) ----
         L = c.num_levels
@@ -577,11 +627,14 @@ class PrimitiveCore:
                     dt_tr = water_borrowing(dt_tr, trg.prev, p_half, delta_t)
                 dt_trs = tr.grid_to_spec(T, dt_tr)
                 dt_trs = apply_damping(self.damping, trs.prev, dt_trs, delta_t)
-                trs_new, P_trs = leapfrog_part_a(trs, dt_trs, delta_t, rc_t, rw)
+                if final:
+                    trs_new, P_trs = leapfrog_part_a(trs, dt_trs, delta_t, rc_t, rw)
+                    tracer_partB[name] = P_trs
+                else:
+                    trs_new = leapfrog(trs, dt_trs, delta_t, rc_t, rw)
                 trg_f = tr.spec_to_grid(T, trs_new.curr)
                 new_spec_tracers[name] = trs_new
                 new_tracers[name] = TwoLevel(trg.curr, trg_f)
-                tracer_partB[name] = P_trs
             else:
                 # grid tracer: forward from previous + van Leer horiz + FV vertical
                 tr_future = trg.prev + (delta_t * dtr_phys if dtr_phys is not None else 0.0)
@@ -593,10 +646,16 @@ class PrimitiveCore:
                     va.vert_advection(delta_t, w_l, dp_l, _lev_last(tr_future), attr.vert_scheme)
                 )
                 tr_future = tr_future + delta_t * dt_vert
-                P_tr = trg.prev - 2.0 * trg.curr
+                if final:
+                    P_tr = trg.prev - 2.0 * trg.curr
+                    tracer_partB[name] = P_tr
+                else:
+                    # inline-complete filter on `current` only; the reference
+                    # overwrites the future with the unfiltered tr_future
+                    # (spectral_dynamics.F90:1164-1180 last assignment)
+                    P_tr = trg.prev - 2.0 * trg.curr + tr_future
                 curr_filt = trg.curr + rc_t * rw * P_tr
                 new_tracers[name] = TwoLevel(curr_filt, tr_future)
-                tracer_partB[name] = P_tr
 
         # ---- global fixers (compute_corrections) on the future fields ----
         if c.do_mass_correction:
@@ -629,21 +688,25 @@ class PrimitiveCore:
             q_f = jnp.where(mask > 0, factor * q_f, q_f)
             new_tracers["sphum"] = TwoLevel(new_tracers["sphum"].prev, q_f)
 
-        # ---- leapfrog part B (filter completes with the corrected future) ----
-        lnps = leapfrog_part_b(lnps, P_lnps, rc, rw)
-        vors = leapfrog_part_b(vors, P_vors, rc, rw)
-        divs = leapfrog_part_b(divs, P_divs, rc, rw)
-        ts = leapfrog_part_b(ts, P_ts, rc, rw)
-        for attr in self.tracer_attrs:
-            name = attr.name
-            if attr.representation == "spectral":
-                new_spec_tracers[name] = leapfrog_part_b(
-                    new_spec_tracers[name], tracer_partB[name], attr.robert_coeff, rw
-                )
-            else:
-                new_tracers[name] = leapfrog_part_b(
-                    new_tracers[name], tracer_partB[name], attr.robert_coeff, rw
-                )
+        # ---- leapfrog part B (final substep only: filter completes with the
+        # corrected future; non-final substeps used the inline filter) ----
+        if final:
+            lnps = leapfrog_part_b(lnps, P_lnps, rc, rw)
+            vors = leapfrog_part_b(vors, P_vors, rc, rw)
+            divs = leapfrog_part_b(divs, P_divs, rc, rw)
+            ts = leapfrog_part_b(ts, P_ts, rc, rw)
+            for attr in self.tracer_attrs:
+                name = attr.name
+                if attr.representation == "spectral":
+                    new_spec_tracers[name] = leapfrog_part_b(
+                        new_spec_tracers[name], tracer_partB[name],
+                        attr.robert_coeff, rw
+                    )
+                else:
+                    new_tracers[name] = leapfrog_part_b(
+                        new_tracers[name], tracer_partB[name],
+                        attr.robert_coeff, rw
+                    )
 
         advance = lambda old, fut: TwoLevel(old.curr, fut)
         return PrimitiveState(

@@ -61,6 +61,8 @@ def make_stirring(
     n = np.arange(N2)[None, :]
     mask = (m > zonal_forcing_min) & (n > n_total_forcing_min) & (n < n_total_forcing_max)
     mask &= n >= m
+    # never force outside the prognostic triangle (keeps padded m rows zero)
+    mask &= np.asarray(T.triangle) > 0.0
 
     lat_deg = np.degrees(np.asarray(T.lats))
     lon_deg = np.degrees(np.asarray(T.lons))

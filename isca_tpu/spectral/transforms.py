@@ -29,12 +29,19 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec
 
 from . import gauss
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
 
 # Standard triangular truncations -> (nlon, nlat), as in the reference's RESOLUTIONS
 # table (src/extra/python/isca/experiment.py:29-56).
@@ -79,15 +86,16 @@ RESOLUTIONS: dict[str, tuple[int, int, int]] = {
         "dft_ana",
         "dft_syn",
     ],
-    meta_fields=["truncation", "num_fourier", "num_spherical", "nlon", "nlat", "radius",
-                 "fourier_method", "precision"],
+    meta_fields=["truncation", "num_fourier", "num_fourier_true", "num_spherical",
+                 "nlon", "nlat", "radius", "fourier_method", "precision", "mesh"],
 )
 @dataclasses.dataclass(frozen=True)
 class SphericalTransforms:
     """Precomputed transform tables for one resolution, as a pytree of jnp arrays."""
 
     truncation: int       # T (e.g. 42)
-    num_fourier: int      # M = T  (zonal wavenumbers 0..M)
+    num_fourier: int      # m rows - 1 (>= true M when the m axis is padded)
+    num_fourier_true: int # true M: largest retained zonal-wavenumber index
     num_spherical: int    # N+1 rows of total wavenumber retained for winds
     nlon: int
     nlat: int
@@ -132,6 +140,12 @@ class SphericalTransforms:
     # each step, so bf16 noise (~4e-3 relative) corrupts the trajectory and
     # the global fixers.  "highest" = f32 accumulation (6-pass on MXU).
     precision: str = "highest"
+    # jax.sharding.Mesh with axis "x": selects the explicit shard_map
+    # transpose-method transform path (lat-sharded grid <-> m-sharded
+    # spectral via lax.all_to_all), the TPU analogue of the reference's ring
+    # mpp_transmit transposes (transforms.F90:970-1056). None = single-device
+    # dense path (also correct under GSPMD with sharded inputs).
+    mesh: Any = None
 
     @property
     def prec(self):
@@ -161,6 +175,8 @@ def make_transforms(
     precision: str = "highest",
     truncation_shape: str = "triangular",
     fourier_inc: int = 1,
+    pad_m_to: int | None = None,
+    mesh: Any = None,
 ) -> SphericalTransforms:
     """Build transform tables for a triangular or rhomboidal truncation.
 
@@ -180,6 +196,23 @@ def make_transforms(
     fourier_wave = m*fourier_inc).  Under triangular truncation the retained
     set is still bounded by total wavenumber n <= T (spherical.F90:184), so
     m rows beyond T are dropped entirely rather than carried fully masked.
+
+    pad_m_to pads the m axis with structurally-zero rows so the m count is a
+    multiple of pad_m_to (defaults to mesh size when mesh is given, else 1).
+    This makes spectral arrays shardable over any device count at STANDARD
+    truncations (M+1 = 43/86/171 at T42/T85/T170 divides nothing) — the
+    TPU-native answer to the reference's block-m spec_mpp decomposition
+    (spec_mpp.F90:78-80). Because the Legendre/DFT stages are DENSE einsums
+    over (m, n), equal m blocks already load-balance exactly (the reference's
+    folded-m pairing compensates for its TRIANGLE-aware loops; dense MXU
+    tiles have no such imbalance), so padding, not folding, is the right
+    packing here. Padded rows carry exact zeros end-to-end: their analysis /
+    synthesis table entries, operator coefficients, and triangle mask are all
+    zero. FLOP overhead at 8 devices: T42 +11%, T85 +2.3%, T170 +2.9% on the
+    transform stages only.
+
+    mesh (jax.sharding.Mesh, axis "x") switches grid_to_spec / spec_to_grid
+    to the explicit shard_map transpose path.
     """
     if isinstance(truncation, str):
         truncation, d_nlon, d_nlat = RESOLUTIONS[truncation]
@@ -253,10 +286,39 @@ def make_transforms(
     dft_cos_i = wm[:, None] * np.cos(ang).T
     dft_sin_i = -wm[:, None] * np.sin(ang).T
 
+    # ---- m-axis zero padding for sharding (see docstring) ----
+    M_true = M
+    if pad_m_to is None:
+        pad_m_to = mesh.devices.size if mesh is not None else 1
+    n_pad = (-(M + 1)) % pad_m_to
+    if n_pad:
+        def _pad_m(a, axis):
+            width = [(0, 0)] * a.ndim
+            width[axis] = (0, n_pad)
+            return np.pad(a, width)
+        P = _pad_m(P, 1)
+        eps = _pad_m(eps, 0)
+        triangle = _pad_m(triangle, 0)
+        uv_im, uv_cm, uv_cp = (_pad_m(a, 0) for a in (uv_im, uv_cm, uv_cp))
+        vd_im, vd_dn, vd_up = (_pad_m(a, 0) for a in (vd_im, vd_dn, vd_up))
+        cdl_up, cdl_dn = _pad_m(cdl_up, 0), _pad_m(cdl_dn, 0)
+        dft_cos_f, dft_sin_f = _pad_m(dft_cos_f, 1), _pad_m(dft_sin_f, 1)
+        dft_cos_i, dft_sin_i = _pad_m(dft_cos_i, 0), _pad_m(dft_sin_i, 0)
+        m_values = np.concatenate([m_values, np.zeros(n_pad, m_values.dtype)])
+        M = M + n_pad
+    if mesh is not None:
+        ndev = mesh.devices.size
+        if (M + 1) % ndev or nlat % ndev:
+            raise ValueError(
+                f"mesh of {ndev} devices needs (m rows={M + 1}) % {ndev} == 0 "
+                f"(set pad_m_to) and nlat={nlat} % {ndev} == 0")
+
     f = lambda x: jnp.asarray(x, dtype=dtype)
     return SphericalTransforms(
         truncation=truncation,
         num_fourier=M,
+        num_fourier_true=M_true,
+        mesh=mesh,
         num_spherical=N,
         nlon=nlon,
         nlat=nlat,
@@ -306,7 +368,11 @@ def grid_to_fourier(T: SphericalTransforms, g: jax.Array) -> jax.Array:
     """
     if T.fourier_method == "fft":
         F = jnp.fft.rfft(g, axis=-1) / T.nlon
-        return F[..., : T.num_fourier + 1].astype(T.cdtype)
+        F = F[..., : T.num_fourier_true + 1].astype(T.cdtype)
+        if T.num_fourier != T.num_fourier_true:  # padded m rows are exact zeros
+            pad = [(0, 0)] * (F.ndim - 1) + [(0, T.num_fourier - T.num_fourier_true)]
+            F = jnp.pad(F, pad)
+        return F
     M1 = T.num_fourier + 1
     FF = jnp.einsum("...l,lm->...m", g, T.dft_ana, precision=T.prec)
     return jax.lax.complex(FF[..., :M1], FF[..., M1:])
@@ -356,12 +422,79 @@ def spec_to_fourier(T: SphericalTransforms, s: jax.Array) -> jax.Array:
 
 def grid_to_spec(T: SphericalTransforms, g: jax.Array, truncate: bool = True) -> jax.Array:
     """Full forward transform (reference: trans_grid_to_spherical, transforms.F90:462)."""
-    s = fourier_to_spec(T, grid_to_fourier(T, g))
+    if T.mesh is not None:
+        s = _grid_to_spec_shmap(T, g)
+    else:
+        s = fourier_to_spec(T, grid_to_fourier(T, g))
     return triangular_truncate(T, s) if truncate else s
 
 def spec_to_grid(T: SphericalTransforms, s: jax.Array) -> jax.Array:
     """Full inverse transform (reference: trans_spherical_to_grid, transforms.F90:379)."""
+    if T.mesh is not None:
+        return _spec_to_grid_shmap(T, s)
     return fourier_to_grid(T, spec_to_fourier(T, s))
+
+
+# ---------------------------------------------------------------------------
+# Explicit transpose-method transforms under shard_map (reference: the
+# distributed transpose, transforms.F90:970-1056 + spec_mpp.F90).  Grid space
+# is lat-sharded (P1), spectral space m-sharded (P2); the re-partition between
+# them is ONE lax.all_to_all over ICI per transform (P3) — each element moves
+# exactly once, vs. the all-gather/all-reduce GSPMD may pick on its own.  The
+# DFT and Legendre stages are purely local MXU matmuls on each device's shard.
+# ---------------------------------------------------------------------------
+
+def _axspec(ndim: int, axis: int) -> PartitionSpec:
+    spec = [None] * ndim
+    spec[axis] = "x"
+    return PartitionSpec(*spec)
+
+
+def _grid_to_spec_shmap(T: SphericalTransforms, g: jax.Array) -> jax.Array:
+    """grid (..., lat_shard, lon) -> spectral (..., m_shard, n), untruncated."""
+    M1 = T.num_fourier + 1
+
+    def body(g_loc, dft_ana, Pw_loc):
+        # local longitude analysis on the device's latitude band
+        FF = jnp.einsum("...l,lm->...m", g_loc, dft_ana, precision=T.prec)
+        FF = jnp.stack([FF[..., :M1], FF[..., M1:]], axis=0)   # (2,...,lat_loc,M1)
+        # the transpose: (lat_loc, m_all) -> (lat_all, m_loc)
+        FF = jax.lax.all_to_all(FF, "x", split_axis=FF.ndim - 1,
+                                concat_axis=FF.ndim - 2, tiled=True)
+        # local Legendre analysis: full latitudes x the device's m block
+        ss = jnp.einsum("jmn,r...jm->r...mn", Pw_loc, FF, precision=T.prec)
+        return jax.lax.complex(ss[0], ss[1])
+
+    nd = g.ndim
+    return _shard_map(
+        body, mesh=T.mesh,
+        in_specs=(_axspec(nd, nd - 2), PartitionSpec(None, None),
+                  PartitionSpec(None, "x", None)),
+        out_specs=_axspec(nd, nd - 2),
+    )(g, T.dft_ana, T.Pw)
+
+
+def _spec_to_grid_shmap(T: SphericalTransforms, s: jax.Array) -> jax.Array:
+    """spectral (..., m_shard, n) -> grid (..., lat_shard, lon)."""
+
+    def body(s_loc, P_loc, dft_syn):
+        ss = jnp.stack([s_loc.real, s_loc.imag], axis=0)        # (2,...,m_loc,n)
+        # local Legendre synthesis: all latitudes x the device's m block
+        FF = jnp.einsum("jmn,r...mn->r...jm", P_loc, ss, precision=T.prec)
+        # the transpose: (lat_all, m_loc) -> (lat_loc, m_all)
+        FF = jax.lax.all_to_all(FF, "x", split_axis=FF.ndim - 2,
+                                concat_axis=FF.ndim - 1, tiled=True)
+        F2 = jnp.concatenate([FF[0], FF[1]], axis=-1)           # (...,lat_loc,2*M1)
+        return jnp.einsum("...m,ml->...l", F2, dft_syn,
+                          precision=T.prec).astype(T.P.dtype)
+
+    nd = s.ndim
+    return _shard_map(
+        body, mesh=T.mesh,
+        in_specs=(_axspec(nd, nd - 2), PartitionSpec(None, "x", None),
+                  PartitionSpec(None, None)),
+        out_specs=_axspec(nd, nd - 2),
+    )(s, T.P, T.dft_syn)
 
 
 # ---------------------------------------------------------------------------

@@ -140,8 +140,11 @@ def regularize_topography(
     Hnm = 1.0 / (1.0 + lam * Dnm * nn1**2)
 
     # Lanczos sigma factors for m > 0 (:328-333, applied :232-236)
+    # Lanczos profile is a function of the TRUE truncation; padded m rows are
+    # structurally zero so their sigma value is irrelevant (kept finite)
     m_idx = np.arange(T.num_fourier + 1, dtype=np.float64)
-    facm = np.pi * m_idx / (2.0 * max(T.num_fourier, 1))
+    facm = np.pi * np.minimum(m_idx, T.num_fourier_true) / (
+        2.0 * max(T.num_fourier_true, 1))
     sig = np.ones_like(facm)
     sig[1:] = np.sin(facm[1:]) / facm[1:]
     sig = sig[:, None]

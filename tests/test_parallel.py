@@ -52,3 +52,100 @@ class TestSharding:
         np.testing.assert_allclose(
             np.asarray(out.vorg.curr), np.asarray(ref.vorg.curr), atol=1e-13
         )
+
+    def test_padded_transforms_match_unpadded(self):
+        """m-axis zero padding (22 -> 24 rows at T21) changes nothing."""
+        from isca_tpu.spectral import transforms as tr
+
+        T0 = tr.make_transforms("T21", dtype=jnp.float64)
+        Tp = tr.make_transforms("T21", dtype=jnp.float64, pad_m_to=8)
+        M1 = T0.num_fourier + 1
+        assert Tp.num_fourier + 1 == 24 and Tp.num_fourier_true == 21
+
+        rng = np.random.default_rng(0)
+        g = jnp.asarray(rng.standard_normal((5, T0.nlat, T0.nlon)))
+        s0, sp = tr.grid_to_spec(T0, g), tr.grid_to_spec(Tp, g)
+        np.testing.assert_allclose(np.asarray(sp[..., :M1, :]), np.asarray(s0),
+                                   atol=1e-12)
+        assert float(jnp.abs(sp[..., M1:, :]).max()) == 0.0
+        np.testing.assert_allclose(np.asarray(tr.spec_to_grid(Tp, sp)),
+                                   np.asarray(tr.spec_to_grid(T0, s0)), atol=1e-12)
+
+        u = jnp.asarray(rng.standard_normal((3, T0.nlat, T0.nlon)))
+        v = jnp.asarray(rng.standard_normal((3, T0.nlat, T0.nlon)))
+        vor0, div0 = tr.vor_div_from_uv_grid(T0, u, v)
+        vorp, divp = tr.vor_div_from_uv_grid(Tp, u, v)
+        np.testing.assert_allclose(np.asarray(vorp[..., :M1, :]),
+                                   np.asarray(vor0), atol=1e-12)
+        u0, v0 = tr.uv_grid_from_vor_div(T0, vor0, div0)
+        up, vp = tr.uv_grid_from_vor_div(Tp, vorp, divp)
+        np.testing.assert_allclose(np.asarray(up), np.asarray(u0), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(vp), np.asarray(v0), atol=1e-12)
+
+    def test_moist_sharded_matches_single_standard_truncation(self):
+        """Flagship moist model (grid tracer incl.) at a STANDARD truncation:
+        8-device shard_map transpose path vs single device, f64 equality.
+
+        The m axis (22 rows at T21) does not divide 8 — this exercises the
+        zero-padding + all_to_all transpose machinery end to end (VERDICT
+        round-1 item 1)."""
+        from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+
+        def build(mesh):
+            core = PrimitiveConfig(
+                resolution="T21", num_levels=8, dt=720.0, dtype=jnp.float64,
+                do_water_correction=True, robert_coeff=0.03, mesh=mesh,
+            )
+            return GreyMoistModel(GreyMoistConfig(core=core))
+
+        ref_model = build(None)
+        s0 = ref_model.initial_state()
+        ref = jax.jit(lambda s: ref_model.run(s, 6))(s0)
+
+        mesh = make_mesh(8)
+        model = build(mesh)
+        nlat = model.core.T.nlat
+        s_sh = shard_pytree(mesh, model.initial_state(), nlat=nlat)
+        out_sh = sharding_pytree(mesh, s_sh, nlat=nlat)
+        out = jax.jit(lambda s: model.run(s, 6), out_shardings=out_sh)(s_sh)
+
+        np.testing.assert_allclose(np.asarray(out.dyn.tg.curr),
+                                   np.asarray(ref.dyn.tg.curr), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out.dyn.psg.curr),
+                                   np.asarray(ref.dyn.psg.curr), atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(out.dyn.tracers["sphum"].curr),
+            np.asarray(ref.dyn.tracers["sphum"].curr), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(out.t_surf),
+                                   np.asarray(ref.t_surf), atol=1e-9)
+        # spectral state really m-sharded: distinct m blocks per device
+        rows = {s.index[-2] for s in out.dyn.ts.curr.addressable_shards}
+        assert len(rows) == 8, f"spectral m axis replicated: {rows}"
+
+    def test_transform_repartition_is_all_to_all(self):
+        """The grid<->spec re-partition must lower to all-to-all — never to an
+        all-gather of grid/spectral-sized arrays (VERDICT round-1 item 1)."""
+        import re
+
+        from isca_tpu.spectral import transforms as tr
+
+        mesh = make_mesh(8)
+        T = tr.make_transforms("T42", dtype=jnp.float64, mesh=mesh)
+        g_sh = jax.device_put(
+            jnp.zeros((8, T.nlat, T.nlon)),
+            jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(None, "x", None)),
+        )
+
+        fwd = jax.jit(lambda g: tr.spec_to_grid(T, tr.grid_to_spec(T, g)))
+        hlo = fwd.lower(g_sh).compile().as_text()
+        assert hlo.count("all-to-all") >= 2, "transpose path not all-to-all"
+        big = T.nlat * T.nlon  # anything >= one grid level is "big"
+        for line in hlo.splitlines():
+            if "all-gather(" not in line:
+                continue
+            sz = 1
+            for grp in re.findall(r"\[([\d,]*)\]", line.split("=")[0]):
+                if grp:
+                    for d in grp.split(","):
+                        sz *= int(d)
+            assert sz < big, f"grid-sized all-gather in transform HLO: {line[:120]}"

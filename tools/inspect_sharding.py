@@ -31,16 +31,20 @@ from isca_tpu.parallel.mesh import make_mesh, shard_pytree, sharding_pytree
 
 
 def main():
-    Tres = int(sys.argv[1]) if len(sys.argv) > 1 else 42
+    Tres = sys.argv[1] if len(sys.argv) > 1 else "T42"
     L = int(sys.argv[2]) if len(sys.argv) > 2 else 25
+    if Tres.isdigit():
+        Tres = int(Tres)
 
-    core = PrimitiveConfig(resolution=Tres, num_levels=L, dt=600.0, dtype=jnp.float32)
+    mesh = make_mesh(ndev)
+    core = PrimitiveConfig(resolution=Tres, num_levels=L, dt=600.0,
+                           dtype=jnp.float32, mesh=mesh)
     model = HeldSuarezModel(HeldSuarezConfig(core=core))
     s0 = model.initial_state()
 
-    mesh = make_mesh(ndev)
-    s_sh = shard_pytree(mesh, s0)
-    out_sh = sharding_pytree(mesh, s_sh)
+    nlat = model.core.T.nlat
+    s_sh = shard_pytree(mesh, s0, nlat=nlat)
+    out_sh = sharding_pytree(mesh, s_sh, nlat=nlat)
     step = jax.jit(lambda s: model.step(s, first=False), out_shardings=out_sh)
     lowered = step.lower(s_sh)
     compiled = lowered.compile()
@@ -49,21 +53,25 @@ def main():
     counts = {}
     bytes_moved = {}
     for line in hlo.splitlines():
-        m = re.search(r"=\s+(\S+)\s+(all-reduce|all-gather|all-to-all|"
-                      r"collective-permute|reduce-scatter)\(", line)
+        m = re.search(r"=\s+(.*?)\s+(all-reduce|all-gather|all-to-all|"
+                      r"collective-permute|reduce-scatter)(?:-start)?\(", line)
         if m:
-            shape, op = m.group(1), m.group(2)
+            shapes, op = m.group(1), m.group(2)  # may be a tuple of shapes
             counts[op] = counts.get(op, 0) + 1
-            nums = re.findall(r"(\d+(?:,\d+)*)\]", shape)
-            sz = 1
-            for grp in re.findall(r"\[([\d,]*)\]", shape):
-                if grp:
-                    for d in grp.split(","):
+            total = 0
+            for dt, grp in re.findall(r"(f32|f64|c64|c128|u32|s32|bf16|pred)"
+                                      r"\[([\d,]*)\]", shapes):
+                sz = 1
+                for d in grp.split(","):
+                    if d:
                         sz *= int(d)
-            elt = 8 if "c64" in shape else (4 if "f32" in shape or "u32" in shape else 8)
-            bytes_moved[op] = bytes_moved.get(op, 0) + sz * elt
+                elt = {"f32": 4, "u32": 4, "s32": 4, "bf16": 2, "pred": 1,
+                       "c64": 8, "f64": 8, "c128": 16}[dt]
+                total += sz * elt
+            bytes_moved[op] = bytes_moved.get(op, 0) + total
 
-    print(f"== collectives in one step (T{Tres}L{L}, {ndev} devices) ==")
+    rname = Tres if isinstance(Tres, str) else f"T{Tres}"
+    print(f"== collectives in one step ({rname}L{L}, {ndev} devices) ==")
     for op in sorted(counts):
         print(f"  {op:20s} x{counts[op]:3d}   ~{bytes_moved[op]/1e6:.2f} MB payload")
     if not counts:
@@ -85,9 +93,38 @@ def main():
     print("== largest per-device dot outputs ==")
     for sz, shape in dots[:8]:
         print(f"  {shape}")
-    nlat = model.core.T.nlat
     print(f"(global nlat={nlat}, per-device should be {nlat//ndev}; "
-          f"M+1={model.core.T.num_fourier+1})")
+          f"M+1={model.core.T.num_fourier+1} "
+          f"[true M={model.core.T.num_fourier_true}])")
+
+    # per-device memory (VERDICT round-1 item 1: record it)
+    mem = compiled.memory_analysis()
+    mem_rec = {}
+    if mem is not None:
+        mem_rec = {
+            "argument_bytes": int(mem.argument_size_in_bytes),
+            "output_bytes": int(mem.output_size_in_bytes),
+            "temp_bytes": int(mem.temp_size_in_bytes),
+            "generated_code_bytes": int(mem.generated_code_size_in_bytes),
+        }
+        print("== per-device memory ==")
+        for k, v in mem_rec.items():
+            print(f"  {k:22s} {v/1e6:10.2f} MB")
+
+    import json
+    rep = {
+        "config": {"resolution": str(Tres), "levels": L, "ndevices": ndev,
+                   "nlat": nlat, "m_rows": model.core.T.num_fourier + 1},
+        "collectives": {op: {"count": counts[op],
+                             "payload_mb": round(bytes_moved[op] / 1e6, 3)}
+                        for op in sorted(counts)},
+        "per_device_memory": mem_rec,
+        "spectral_sharded": True,
+    }
+    out_path = os.path.join(os.path.dirname(__file__), "..", "SHARDING_REPORT.json")
+    with open(out_path, "w") as fh:
+        json.dump(rep, fh, indent=1)
+    print(f"wrote {os.path.abspath(out_path)}")
 
 
 if __name__ == "__main__":

@@ -110,6 +110,16 @@ def build_axisymmetric():
     return HeldSuarezModel(HeldSuarezConfig(core=core))
 
 
+def build_held_suarez_substeps():
+    """num_steps=2 dycore substepping (spectral_dynamics.F90:832 step_loop;
+    giant-planet-class configurations rely on it)."""
+    from isca_tpu.dycore.primitive import PrimitiveConfig
+    from isca_tpu.models.dry import HeldSuarezConfig, HeldSuarezModel
+    core = PrimitiveConfig(resolution="T21", num_levels=8, dt=1200.0,
+                           dtype=DTYPE, num_steps=2)
+    return HeldSuarezModel(HeldSuarezConfig(core=core))
+
+
 def build_frierson():
     return _moist()
 
@@ -199,6 +209,7 @@ def build_shallow_water_stirring():
 
 CONFIGS = {
     "held_suarez": build_held_suarez,
+    "held_suarez_substeps": build_held_suarez_substeps,
     "axisymmetric": build_axisymmetric,
     "frierson": build_frierson,
     "bucket_model": build_bucket_model,
