@@ -960,6 +960,17 @@ class RRTMGLw:
         elif isinstance(kg, (str, Path)):
             kg = dict(np.load(kg))
         self.kg = {k: np.asarray(v) for k, v in kg.items()}
+        if int(np.asarray(self.kg.get("synthetic", 0))) == 1:
+            # loud, every construction: LW fluxes from synthetic k-tables are
+            # structurally correct but NOT AER-accurate; flagship claims that
+            # depend on LW must stay labeled (VERDICT round 1, missing #7)
+            import warnings
+            warnings.warn(
+                "RRTMG-LW is running on SYNTHETIC k-distribution tables "
+                "(isca_tpu/data/rrtmg_lw_kg.npz, synthetic=1). Fluxes are "
+                "physically plausible but not AER-accurate. Rebuild the npz "
+                "from AER's rrtmg_lw.nc (tools/extract_rrtmg_lw.py) for "
+                "production longwave.", RuntimeWarning, stacklevel=2)
         bidx = []
         for i, n in enumerate(NGC):
             bidx += [i] * n

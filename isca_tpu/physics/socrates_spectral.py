@@ -348,6 +348,14 @@ def read_spectral_file(path, name=None) -> SpectrumData:
             def flush():
                 if key is not None and fit_rows:
                     arr = np.array(fit_rows)
+                    # UKMO files (sp_*_ga7 et al.) carry a leading k-term
+                    # INDEX column (1..n); our writer does not. Detect and
+                    # drop it: first column integral, consecutive from 1.
+                    if (arr.shape[1] >= 3
+                            and np.all(arr[:, 0] == np.round(arr[:, 0]))
+                            and np.array_equal(arr[:, 0],
+                                               np.arange(1, len(arr) + 1))):
+                        arr = arr[:, 1:]
                     esft[key] = GasFit(
                         gas=key[1], k=arr[:, 0].copy(), w=arr[:, 1].copy(),
                         scale_fnc=meta.get("fnc", SCALE_POWER_LAW),
@@ -362,12 +370,17 @@ def read_spectral_file(path, name=None) -> SpectrumData:
                            absorbers[int(m.group(2)) - 1])
                     fit_rows, meta = [], {}
                     continue
-                m = re.search(r"Scaling function\s*=\s*(\d+)", ln)
+                # "Scaling function = 2" (our writer) or the UKMO wordings
+                # "Type of scaling = 2" / "Type of scaling function = 2"
+                m = re.search(r"(?:scaling(?:\s+function)?|type of scaling"
+                              r"(?:\s+function)?)\s*=\s*(\d+)", ln,
+                              re.IGNORECASE)
                 if m:
                     meta["fnc"] = int(m.group(1))
                     continue
                 m = re.search(r"Reference pressure\s*=\s*(\S+)\s*.*"
-                              r"Reference temperature\s*=\s*(\S+)", ln)
+                              r"Reference temperature\s*=\s*(\S+)", ln,
+                              re.IGNORECASE)
                 if m:
                     meta["p"] = _floats(m.group(1))[0]
                     meta["t"] = _floats(m.group(2))[0]

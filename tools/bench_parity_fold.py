@@ -28,13 +28,17 @@ def folded_tables(T):
     (-1)^(n+m) is even on the (::2,::2) and (1::2,1::2) blocks and odd on the
     cross blocks.
     """
+    import numpy as np
+
     half = T.nlat // 2
-    Pn = T.P[half:]          # northern half, ascending latitude
-    Pwn = T.Pw[half:]
+    # slice on HOST: eager strided device ops stall/fail on the axon tunnel
+    Pn = np.asarray(T.P)[half:]          # northern half, ascending latitude
+    Pwn = np.asarray(T.Pw)[half:]
     blocks = {}
     for pm in (0, 1):
         for pn in (0, 1):
-            blocks[(pm, pn)] = (Pn[:, pm::2, pn::2], Pwn[:, pm::2, pn::2])
+            blocks[(pm, pn)] = (jnp.asarray(Pn[:, pm::2, pn::2]),
+                                jnp.asarray(Pwn[:, pm::2, pn::2]))
     return blocks
 
 
@@ -98,13 +102,24 @@ def timeit(fn, *args, iters=200):
 def main():
     trunc = int(sys.argv[1]) if len(sys.argv) > 1 else 85
     B = int(sys.argv[2]) if len(sys.argv) > 2 else 25
-    T = tr.make_transforms(trunc, dtype=jnp.float32)
+    # string form selects the model's actual grid from RESOLUTIONS (e.g. T213
+    # -> 640x320); a bare int would derive a next-power-of-two grid instead
+    name = f"T{trunc}"
+    T = tr.make_transforms(name if name in tr.RESOLUTIONS else trunc,
+                           dtype=jnp.float32)
+    # fold preconditions: hemisphere pairing needs even nlat; the (-1)^(n+m)
+    # parity block structure needs fourier_inc == 1 (m == index)
+    assert T.nlat % 2 == 0, "hemispheric fold requires even nlat"
+    assert int(T.mvec[-1]) == T.num_fourier, "fold requires fourier_inc == 1"
+    TOL = 1e-5  # few x f32 eps at GCM magnitudes
     blocks = folded_tables(T)
-    key = jax.random.PRNGKey(0)
-    s = (jax.random.normal(key, (B, T.num_fourier + 1, T.num_spherical + 1))
-         + 1j * jax.random.normal(key, (B, T.num_fourier + 1, T.num_spherical + 1))
-         ).astype(T.cdtype)
-    s = s * T.triangle
+    kr, ki = jax.random.split(jax.random.PRNGKey(0))
+    shape = (B, T.num_fourier + 1, T.num_spherical + 1)
+    # complex built under jit (eager complex construction is unsupported on
+    # the axon TPU backend; see .claude/skills/verify gotchas)
+    s = jax.jit(lambda a, b, t: jax.lax.complex(a * t, b * t))(
+        jax.random.normal(kr, shape, T.P.dtype),
+        jax.random.normal(ki, shape, T.P.dtype), T.triangle)
 
     base_syn = jax.jit(lambda x: tr.spec_to_fourier(T, x))
     fold_syn = jax.jit(lambda x: spec_to_fourier_folded(T, blocks, x))
@@ -112,6 +127,7 @@ def main():
     F2 = fold_syn(s)
     err = float(jnp.max(jnp.abs(F - F2)) / jnp.max(jnp.abs(F)))
     print(f"synthesis rel err: {err:.2e}")
+    assert err < TOL, f"folded synthesis wrong: rel err {err:.2e} >= {TOL}"
     t_base = timeit(base_syn, s)
     t_fold = timeit(fold_syn, s)
     print(f"T{trunc} B={B} synthesis: base {t_base:.1f}us fold {t_fold:.1f}us "
@@ -124,6 +140,7 @@ def main():
     err = float(jnp.max(jnp.abs(sA * T.triangle - sB * T.triangle))
                 / jnp.max(jnp.abs(sA * T.triangle)))
     print(f"analysis rel err: {err:.2e}")
+    assert err < TOL, f"folded analysis wrong: rel err {err:.2e} >= {TOL}"
     t_base = timeit(base_ana, F)
     t_fold = timeit(fold_ana, F)
     print(f"T{trunc} B={B} analysis:  base {t_base:.1f}us fold {t_fold:.1f}us "

@@ -20,12 +20,13 @@ Prints one PASS/FAIL line per criterion and a JSON summary.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -76,11 +77,24 @@ def zonal_time_mean(model, state, nsteps_spinup, nsteps_avg, accum_fields):
     )
 
 
-def check(name, cond, detail, results):
+def check(name, cond, detail, results, value=None, bounds=None):
+    """Record one criterion. value/bounds make the artifact auditable:
+    every entry carries the measured number and the literature bound."""
     status = "PASS" if cond else "FAIL"
     print(f"[{status}] {name}: {detail}")
-    results[name] = {"pass": bool(cond), "detail": detail}
+    rec = {"pass": bool(cond), "detail": detail}
+    if value is not None:
+        rec["value"] = float(value)
+    if bounds is not None:
+        rec["bounds"] = list(bounds)
+    results[name] = rec
     return cond
+
+
+def bcheck(name, value, lo, hi, detail, results):
+    """Bounded criterion: lo <= value <= hi."""
+    return check(name, lo <= value <= hi, detail, results,
+                 value=value, bounds=(lo, hi))
 
 
 def gate_held_suarez(days, results, resolution="T85"):
@@ -202,26 +216,186 @@ def gate_frierson(days, results):
           results)
 
 
+def gate_mima(days, results, resolution=None):
+    """MiMA-style seasonal RRTM aquaplanet (Jucker & Gerber 2017, J. Climate).
+
+    Built from the reference MiMA namelist (exp/namelists/mima.nml) with the
+    reference's actual ozone_1990 climatology when available. Annual-mean
+    criteria: a real stratosphere (cold-point tropopause near 100 hPa with
+    temperature increasing above it — the structure RRTM+ozone exists to
+    produce), subtropical jets, warm moist tropics.
+    """
+    from tools.from_namelist import model_from_namelist, parse_namelist
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "..", "exp", "namelists", "mima.nml")) as fh:
+        nml = parse_namelist(fh.read())
+    overrides = {"resolution": resolution} if resolution else {}
+    model = model_from_namelist(nml, dtype=jnp.float32, **overrides)
+
+    # the reference's own ozone input file, if the reference tree is present
+    o3_path = "/root/reference/input/rrtm_input_files/ozone_1990.nc"
+    if os.path.exists(o3_path):
+        from isca_tpu.utils.time_interp import load_pressure_climatology
+        lats = np.rad2deg(np.asarray(model.core.T.lats))
+        lons = np.rad2deg(np.asarray(model.core.T.lons))
+        model.physics.o3_series = load_pressure_climatology(
+            o3_path, "ozone_1990", lats, lons)
+        print("  ozone: reference ozone_1990.nc climatology")
+    else:
+        print("  ozone: constant fallback (reference input file not found)")
+
+    state = model.initial_state()
+    dt = model.core.config.dt
+    spd = int(86400 / dt)
+    spin = (days // 2) * spd
+    avg = (days - days // 2) * spd
+
+    # approximate annual-mean pressure ladder for level selection
+    ph = np.asarray(model.core.pk) + np.asarray(model.core.bk) * 1.0e5
+    p_full = 0.5 * (ph[:-1] + ph[1:])
+
+    def fields(st):
+        return {"u": st.dyn.ug.curr.mean(axis=-1),
+                "t": st.dyn.tg.curr.mean(axis=-1),
+                "ts": st.t_surf.mean(axis=-1),
+                "q": st.dyn.tracers["sphum"].curr.mean(axis=-1)}
+
+    t0 = time.time()
+    state, zm = zonal_time_mean(model, state, spin, avg, fields)
+    wall = time.time() - t0
+    print(f"MiMA {model.core.config.resolution}L"
+          f"{model.core.config.num_levels}: {days} days in "
+          f"{wall:.0f}s ({days * 86400 / wall:,.0f} model-days/day)")
+
+    lats = np.rad2deg(np.asarray(model.core.T.lats))
+    u, T, ts, q = zm["u"], zm["t"], zm["ts"], zm["q"]
+    trop = np.abs(lats) < 15
+
+    # cold-point tropopause in the tropics (Jucker-Gerber fig. 2: ~190-205 K
+    # near 100 hPa)
+    Ttrop = T[:, trop].mean(axis=1)
+    kcp = int(np.argmin(Ttrop))
+    bcheck("mima_coldpoint_temp", float(Ttrop[kcp]), 180.0, 210.0,
+           f"tropical cold point {Ttrop[kcp]:.0f} K at {p_full[kcp]/100:.0f} hPa",
+           results)
+    bcheck("mima_coldpoint_pressure", float(p_full[kcp] / 100.0), 30.0, 200.0,
+           f"cold point at {p_full[kcp]/100:.0f} hPa (obs ~100)", results)
+    # stratosphere: temperature increases above the cold point (ozone heating)
+    strat_warming = float(T[: max(kcp, 1), trop].mean(axis=1).max() - Ttrop[kcp])
+    bcheck("mima_stratospheric_inversion", strat_warming, 2.0, 120.0,
+           f"T rises {strat_warming:.0f} K above cold point", results)
+    # subtropical jet
+    nh = lats > 0
+    kjet, jjet = np.unravel_index(np.argmax(u[:, nh]), u[:, nh].shape)
+    bcheck("mima_jet_strength", float(u[:, nh].max()), 20.0, 50.0,
+           f"NH jet {u[:, nh].max():.1f} m/s at {lats[nh][jjet]:.0f} deg",
+           results)
+    bcheck("mima_jet_latitude", float(lats[nh][jjet]), 25.0, 55.0,
+           f"jet latitude {lats[nh][jjet]:.0f} deg", results)
+    # warm moist tropics (100 m slab + RRTM: ~295-305 K)
+    bcheck("mima_tropical_tsurf", float(ts[trop].mean()), 285.0, 310.0,
+           f"tropical t_surf {ts[trop].mean():.1f} K", results)
+    bcheck("mima_humidity", float(q[-1].max() * 1e3), 8.0, 30.0,
+           f"sfc q max {q[-1].max()*1e3:.1f} g/kg", results)
+
+
+def gate_giant(days, results, resolution="T85"):
+    """Giant planet (Schneider & Liu 2009, JAS): equatorial superrotation and
+    multiple alternating off-equator jets.
+
+    The reference case runs T213L40; at the gate's reduced resolution the
+    criteria are the robust qualitative targets: a superrotating (westerly)
+    equatorial jet much stronger than midlatitude flow, and >= 4 alternating
+    zonal jets (sign changes of zonal-mean u off the equator).
+    """
+    from isca_tpu.models.giant import giant_planet_model
+
+    model = giant_planet_model(resolution=resolution, num_levels=30, dt=900.0)
+    state = model.initial_state()
+    spd = int(86400 / model.core.config.dt)
+    spin = (days * 2 // 3) * spd
+    avg = (days - days * 2 // 3) * spd
+
+    def fields(st):
+        return {"u": st.dyn.ug.curr.mean(axis=-1),
+                "t": st.dyn.tg.curr.mean(axis=-1)}
+
+    t0 = time.time()
+    state, zm = zonal_time_mean(model, state, spin, avg, fields)
+    wall = time.time() - t0
+    print(f"Giant planet {resolution}L30: {days} days in {wall:.0f}s "
+          f"({days * 86400 / wall:,.0f} model-days/day)")
+
+    lats = np.rad2deg(np.asarray(model.core.T.lats))
+    u = zm["u"]
+    L = u.shape[0]
+    utop = u[: L // 3].mean(axis=0)        # upper-troposphere zonal-mean u
+    eq = np.abs(lats) < 8
+
+    bcheck("gp_equatorial_superrotation", float(utop[eq].mean()), 10.0, 300.0,
+           f"equatorial upper u {utop[eq].mean():.0f} m/s (SL09: strong "
+           "prograde)", results)
+    # off-equator alternating jet pattern: count sign changes poleward of 10deg
+    nh_off = utop[(lats > 10) & (lats < 80)]
+    sh_off = utop[(lats < -10) & (lats > -80)]
+    flips = int(np.sum(np.abs(np.diff(np.sign(nh_off))) > 0)
+                + np.sum(np.abs(np.diff(np.sign(sh_off))) > 0))
+    bcheck("gp_multiple_jets", float(flips), 4.0, 1000.0,
+           f"{flips} sign changes of off-equator zonal-mean u (alternating "
+           "jets)", results)
+    # equator dominates: superrotation exceeds the strongest midlat jet
+    check("gp_equator_dominates",
+          float(utop[eq].mean()) > 0.5 * float(np.abs(nh_off).max() + 1e-9),
+          f"eq {utop[eq].mean():.0f} m/s vs max |midlat| {np.abs(nh_off).max():.0f}",
+          results, value=float(utop[eq].mean()))
+    # hemispheric symmetry of the jet pattern (statistical, loose)
+    corr = float(np.corrcoef(nh_off[: len(sh_off)], sh_off[::-1][: len(nh_off)])[0, 1])
+    bcheck("gp_hemispheric_symmetry", corr, 0.2, 1.0,
+           f"NH/SH jet-pattern correlation {corr:.2f}", results)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--days", type=int, default=1200,
-                   help="Held-Suarez run length (Frierson uses days//2)")
-    p.add_argument("--json", default="")
-    p.add_argument("--only", default="", help="hs | frierson")
+                   help="Held-Suarez run length (Frierson/MiMA/giant scale off this)")
+    p.add_argument("--json", default="CLIMATE_GATE.json",
+                   help="artifact path ('' disables)")
+    p.add_argument("--only", default="", help="hs | frierson | mima | giant")
     p.add_argument("--resolution", default="T85", help="Held-Suarez truncation")
     args = p.parse_args()
 
     results = {}
-    if args.only in ("", "hs"):
+    wanted = args.only.split(",") if args.only else ["hs", "frierson", "mima",
+                                                     "giant"]
+    t0 = time.time()
+    if "hs" in wanted:
         gate_held_suarez(args.days, results, resolution=args.resolution)
-    if args.only in ("", "frierson"):
+    if "frierson" in wanted:
         gate_frierson(max(args.days // 2, 100), results)
+    if "mima" in wanted:
+        gate_mima(max(args.days // 2, 100), results)
+    if "giant" in wanted:
+        gate_giant(max(args.days, 300), results)
 
     npass = sum(r["pass"] for r in results.values())
     print(f"\n{npass}/{len(results)} criteria passed")
     if args.json:
+        dev = jax.devices()[0]
+        artifact = {
+            "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+            "platform": dev.platform,
+            "device_kind": dev.device_kind,
+            "days_arg": args.days,
+            "configs_run": wanted,
+            "wall_seconds": round(time.time() - t0, 1),
+            "passed": npass,
+            "total": len(results),
+            "criteria": results,
+        }
         with open(args.json, "w") as f:
-            json.dump(results, f, indent=1)
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {args.json}")
     return 0 if npass == len(results) else 1
 
 
