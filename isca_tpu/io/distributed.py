@@ -139,7 +139,10 @@ def load_restart_sharded(dirpath: str, like):
                        for (ts, te), (ss, se) in zip(tgt, src)):
                     cut = tuple(slice(ts - ss, te - ss)
                                 for (ts, te), (ss, _) in zip(tgt, src))
-                    return np.ascontiguousarray(arr[cut])
+                    # NB: ascontiguousarray alone would promote 0-d scalars
+                    # to shape (1,); reshape restores the exact target shape
+                    return np.ascontiguousarray(arr[cut]).reshape(
+                        [te - ts for ts, te in tgt])
                 # partial overlap: accumulate
                 if all(ts < se and te > ss
                        for (ts, te), (ss, se) in zip(tgt, src)):
