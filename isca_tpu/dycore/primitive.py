@@ -501,12 +501,34 @@ class PrimitiveCore:
             )
 
         # ---- pressure variables and gradients at `current` ----
+        # ONE batched gradient synthesis: ln ps (2 fields) + T (2L) + each
+        # spectral tracer (2L) ride the same spec_to_grid. Fewer, larger MXU
+        # matmuls, and one all-to-all instead of 2+n_tracers when sharded
+        # (the reference transposes field-by-field, transforms.F90:786-831;
+        # batching them is the free win SURVEY.md §5 notes it leaves on the
+        # table).
         p_half, ln_p_half, p_full, ln_p_full = self.pressure_variables(state.psg.curr)
-        grads = tr.spec_to_grid(T, jnp.stack(
-            [tr.ddx_spec(T, state.lnps.curr), tr.cos_dlat_coeffs(T, state.lnps.curr)],
-            axis=0))
-        dx_lnps, dy_lnps = grads[0], grads[1]
+        L = c.num_levels
+        sp_attrs = [a for a in self.tracer_attrs if a.representation == "spectral"]
+        grad_parts = [jnp.stack([tr.ddx_spec(T, state.lnps.curr),
+                                 tr.cos_dlat_coeffs(T, state.lnps.curr)], axis=0),
+                      tr.ddx_spec(T, state.ts.curr),
+                      tr.cos_dlat_coeffs(T, state.ts.curr)]
+        for attr in sp_attrs:
+            s_tr = state.spec_tracers[attr.name].curr
+            grad_parts += [tr.ddx_spec(T, s_tr), tr.cos_dlat_coeffs(T, s_tr)]
+        gsyn = tr.spec_to_grid(T, jnp.concatenate(grad_parts, axis=0))
+        dx_lnps, dy_lnps = gsyn[0], gsyn[1]
         coslat = T.coslat[:, None].astype(c.dtype)
+        acoslat = T.radius * coslat
+        # advective-form -(V . grad) terms for T and the spectral tracers
+        t_adv = -(state.ug.curr * gsyn[2:2 + L]
+                  + state.vg.curr * gsyn[2 + L:2 + 2 * L]) / acoslat
+        sp_adv = {}
+        for i, attr in enumerate(sp_attrs):
+            o = 2 + 2 * L + 2 * L * i
+            sp_adv[attr.name] = -(state.ug.curr * gsyn[o:o + L]
+                                  + state.vg.curr * gsyn[o + L:o + 2 * L]) / acoslat
         dx_psg = state.psg.curr * dx_lnps / (T.radius * coslat)
         dy_psg = state.psg.curr * dy_lnps / (T.radius * coslat)
 
@@ -530,9 +552,9 @@ class PrimitiveCore:
         )
         phig_full = _lev_first(phig_full)
 
-        # surface-pressure tendency -> spectral
+        # surface-pressure tendency (analyzed in the single batched
+        # grid_to_spec below)
         dt_ln_psg = dps_tend / state.psg.curr
-        dt_lnps = tr.grid_to_spec(T, dt_ln_psg)
 
         # vertical advection (level-last helpers)
         dp3 = p_half[1:] - p_half[:-1]
@@ -544,20 +566,49 @@ class PrimitiveCore:
         dt_vg = dt_vg + _lev_first(va.vert_advection(delta_t, w_l, dp_l, _lev_last(vv_lev), c.uv_vert_advect_scheme))
         dt_tg = dt_tg + _lev_first(va.vert_advection(delta_t, w_l, dp_l, _lev_last(tt_lev), c.t_vert_advect_scheme))
 
-        # horizontal advection of T (advective form from spectral gradient)
-        dt_tg = dt_tg + tr.horizontal_advection(T, state.ts.curr, state.ug.curr, state.vg.curr)
+        # horizontal advection of T (advective form, gradients from the
+        # batched synthesis above)
+        dt_tg = dt_tg + t_adv
 
-        # rotational terms and conversion to (vor, div) tendencies
+        # rotational terms
         abs_vor = state.vorg.curr + self.coriolis[None]
         dt_ug = dt_ug + abs_vor * state.vg.curr
         dt_vg = dt_vg - abs_vor * state.ug.curr
-        dt_vors, dt_divs = tr.vor_div_from_uv_grid(T, dt_ug, dt_vg)
 
-        # batched analysis: T tendency + (Phi + KE) in one transform
+        # ---- spectral tracers, pass 1: grid-space tendencies (they join
+        # the single batched analysis; update_tracers spectral branch,
+        # spectral_dynamics.F90:1116-1160) ----
+        sp_dt = {}
+        for attr in sp_attrs:
+            name = attr.name
+            trg = state.tracers[name]
+            dt_tr = sp_adv[name]
+            dtr_phys = (phys.dtracers or {}).get(name)
+            if dtr_phys is not None:
+                dt_tr = dt_tr + dtr_phys
+            lev = trg.prev if attr.vert_scheme in (
+                va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC) else trg.curr
+            dt_tr = dt_tr + _lev_first(
+                va.vert_advection(delta_t, w_l, dp_l, _lev_last(lev), attr.vert_scheme)
+            )
+            if attr.hole_filling:
+                dt_tr = water_borrowing(dt_tr, trg.prev, p_half, delta_t)
+            sp_dt[name] = dt_tr
+
+        # ---- ONE batched analysis: (u,v)/cos for vor-div, T tendency,
+        # Phi+KE, ln ps tendency, spectral tracer tendencies ----
         phi_plus_ke = phig_full + 0.5 * (state.ug.curr**2 + state.vg.curr**2)
-        both = tr.grid_to_spec(T, jnp.concatenate([dt_tg, phi_plus_ke], axis=0))
-        dt_ts = both[: c.num_levels]
-        dt_divs = dt_divs - tr.laplacian(T, both[c.num_levels :])
+        ana_in = jnp.concatenate(
+            [dt_ug / coslat, dt_vg / coslat, dt_tg, phi_plus_ke, dt_ln_psg[None]]
+            + [sp_dt[a.name] for a in sp_attrs], axis=0)
+        ana = tr.grid_to_spec(T, ana_in, truncate=False)
+        tt = lambda s: tr.triangular_truncate(T, s)
+        dt_vors, dt_divs = tr.vor_div_from_analysis(T, ana[:L], ana[L:2 * L])
+        dt_ts = tt(ana[2 * L:3 * L])
+        dt_divs = dt_divs - tr.laplacian(T, tt(ana[3 * L:4 * L]))
+        dt_lnps = tt(ana[4 * L])
+        sp_dts = {a.name: tt(ana[4 * L + 1 + i * L:4 * L + 1 + (i + 1) * L])
+                  for i, a in enumerate(sp_attrs)}
 
         # semi-implicit correction
         if c.use_implicit:
@@ -586,22 +637,42 @@ class PrimitiveCore:
             divs = leapfrog(state.divs, dt_divs, delta_t, rc, rw)
             ts = leapfrog(state.ts, dt_ts, delta_t, rc, rw)
 
-        # ---- synthesize future grid fields (one batched transform) ----
-        L = c.num_levels
+        # ---- spectral tracers, pass 2: damping + leapfrog (their future
+        # grid values join the single batched synthesis below) ----
+        new_tracers = dict(state.tracers)
+        new_spec_tracers = dict(state.spec_tracers)
+        tracer_partB = {}
+        for attr in sp_attrs:
+            name = attr.name
+            trs = state.spec_tracers[name]
+            dt_trs = apply_damping(self.damping, trs.prev, sp_dts[name], delta_t)
+            if final:
+                trs_new, P_trs = leapfrog_part_a(trs, dt_trs, delta_t,
+                                                 attr.robert_coeff, rw)
+                tracer_partB[name] = P_trs
+            else:
+                trs_new = leapfrog(trs, dt_trs, delta_t, attr.robert_coeff, rw)
+            new_spec_tracers[name] = trs_new
+
+        # ---- ONE batched synthesis of every future grid field: prognostics,
+        # winds (via uv_coeffs), spectral tracers ----
+        U, V = tr.uv_coeffs_from_vor_div(T, vors.curr, divs.curr)
         stacked = jnp.concatenate(
-            [divs.curr, vors.curr, ts.curr, lnps.curr[None]], axis=0
-        )
+            [divs.curr, vors.curr, ts.curr, lnps.curr[None], U, V]
+            + [new_spec_tracers[a.name].curr for a in sp_attrs], axis=0)
         synth = tr.spec_to_grid(T, stacked)
         divg_f = synth[:L]
         vorg_f = synth[L : 2 * L]
         tg_f = synth[2 * L : 3 * L]
         psg_f = jnp.exp(synth[3 * L])
-        ug_f, vg_f = tr.uv_grid_from_vor_div(T, vors.curr, divs.curr)
+        ug_f = synth[3 * L + 1:4 * L + 1] / coslat
+        vg_f = synth[4 * L + 1:5 * L + 1] / coslat
+        for i, attr in enumerate(sp_attrs):
+            trg = state.tracers[attr.name]
+            trg_f = synth[5 * L + 1 + i * L:5 * L + 1 + (i + 1) * L]
+            new_tracers[attr.name] = TwoLevel(trg.curr, trg_f)
 
-        # ---- tracers (update_tracers, spectral_dynamics.F90:1116-1188) ----
-        new_tracers = dict(state.tracers)
-        new_spec_tracers = dict(state.spec_tracers)
-        tracer_partB = {}
+        # ---- grid tracers (update_tracers, spectral_dynamics.F90:1116-1188) ----
         if c.do_water_correction:
             dq_phys = (phys.dtracers or {}).get("sphum")
             q_prev_est = state.tracers["sphum"].prev + (
@@ -609,53 +680,32 @@ class PrimitiveCore:
             )
             mean_water_prev = self.mass_weighted_integral(q_prev_est, state.psg.prev)
         for attr in self.tracer_attrs:
+            if attr.representation == "spectral":
+                continue  # handled in the batched passes above
             name = attr.name
             dtr_phys = (phys.dtracers or {}).get(name)
             trg = state.tracers[name]
             rc_t = attr.robert_coeff
-            if attr.representation == "spectral":
-                trs = state.spec_tracers[name]
-                dt_tr = tr.horizontal_advection(T, trs.curr, state.ug.curr, state.vg.curr)
-                if dtr_phys is not None:
-                    dt_tr = dt_tr + dtr_phys
-                lev = trg.prev if attr.vert_scheme in (
-                    va.VAN_LEER_LINEAR, va.FINITE_VOLUME_PARABOLIC) else trg.curr
-                dt_tr = dt_tr + _lev_first(
-                    va.vert_advection(delta_t, w_l, dp_l, _lev_last(lev), attr.vert_scheme)
-                )
-                if attr.hole_filling:
-                    dt_tr = water_borrowing(dt_tr, trg.prev, p_half, delta_t)
-                dt_trs = tr.grid_to_spec(T, dt_tr)
-                dt_trs = apply_damping(self.damping, trs.prev, dt_trs, delta_t)
-                if final:
-                    trs_new, P_trs = leapfrog_part_a(trs, dt_trs, delta_t, rc_t, rw)
-                    tracer_partB[name] = P_trs
-                else:
-                    trs_new = leapfrog(trs, dt_trs, delta_t, rc_t, rw)
-                trg_f = tr.spec_to_grid(T, trs_new.curr)
-                new_spec_tracers[name] = trs_new
-                new_tracers[name] = TwoLevel(trg.curr, trg_f)
+            # grid tracer: forward from previous + van Leer horiz + FV vertical
+            tr_future = trg.prev + (delta_t * dtr_phys if dtr_phys is not None else 0.0)
+            adv = fv.a_grid_horiz_advection(
+                self.fv_geom, state.ug.curr, state.vg.curr, tr_future, delta_t
+            )
+            tr_future = tr_future + delta_t * adv
+            dt_vert = _lev_first(
+                va.vert_advection(delta_t, w_l, dp_l, _lev_last(tr_future), attr.vert_scheme)
+            )
+            tr_future = tr_future + delta_t * dt_vert
+            if final:
+                P_tr = trg.prev - 2.0 * trg.curr
+                tracer_partB[name] = P_tr
             else:
-                # grid tracer: forward from previous + van Leer horiz + FV vertical
-                tr_future = trg.prev + (delta_t * dtr_phys if dtr_phys is not None else 0.0)
-                adv = fv.a_grid_horiz_advection(
-                    self.fv_geom, state.ug.curr, state.vg.curr, tr_future, delta_t
-                )
-                tr_future = tr_future + delta_t * adv
-                dt_vert = _lev_first(
-                    va.vert_advection(delta_t, w_l, dp_l, _lev_last(tr_future), attr.vert_scheme)
-                )
-                tr_future = tr_future + delta_t * dt_vert
-                if final:
-                    P_tr = trg.prev - 2.0 * trg.curr
-                    tracer_partB[name] = P_tr
-                else:
-                    # inline-complete filter on `current` only; the reference
-                    # overwrites the future with the unfiltered tr_future
-                    # (spectral_dynamics.F90:1164-1180 last assignment)
-                    P_tr = trg.prev - 2.0 * trg.curr + tr_future
-                curr_filt = trg.curr + rc_t * rw * P_tr
-                new_tracers[name] = TwoLevel(curr_filt, tr_future)
+                # inline-complete filter on `current` only; the reference
+                # overwrites the future with the unfiltered tr_future
+                # (spectral_dynamics.F90:1164-1180 last assignment)
+                P_tr = trg.prev - 2.0 * trg.curr + tr_future
+            curr_filt = trg.curr + rc_t * rw * P_tr
+            new_tracers[name] = TwoLevel(curr_filt, tr_future)
 
         # ---- global fixers (compute_corrections) on the future fields ----
         if c.do_mass_correction:

@@ -420,6 +420,7 @@ def spec_to_fourier(T: SphericalTransforms, s: jax.Array) -> jax.Array:
     return jax.lax.complex(FF[0], FF[1])
 
 
+@jax.named_scope("grid_to_spec")
 def grid_to_spec(T: SphericalTransforms, g: jax.Array, truncate: bool = True) -> jax.Array:
     """Full forward transform (reference: trans_grid_to_spherical, transforms.F90:462)."""
     if T.mesh is not None:
@@ -428,6 +429,7 @@ def grid_to_spec(T: SphericalTransforms, g: jax.Array, truncate: bool = True) ->
         s = fourier_to_spec(T, grid_to_fourier(T, g))
     return triangular_truncate(T, s) if truncate else s
 
+@jax.named_scope("spec_to_grid")
 def spec_to_grid(T: SphericalTransforms, s: jax.Array) -> jax.Array:
     """Full inverse transform (reference: trans_spherical_to_grid, transforms.F90:379)."""
     if T.mesh is not None:
@@ -545,16 +547,17 @@ def cos_dlat_coeffs(T: SphericalTransforms, s: jax.Array) -> jax.Array:
 # transforms.F90:681-783).
 # ---------------------------------------------------------------------------
 
-def uv_grid_from_vor_div(
+def uv_coeffs_from_vor_div(
     T: SphericalTransforms, vors: jax.Array, divs: jax.Array
 ) -> tuple[jax.Array, jax.Array]:
-    """Grid winds (u, v) from spectral vorticity/divergence.
+    """Spectral wind coefficients (U, V) with u = synth(U)/cos, v = synth(V)/cos.
 
       U_n = a [ -i m D_n /(n(n+1)) - eps_mn zeta_{n-1}/n + eps_{m,n+1} zeta_{n+1}/(n+1) ]
       V_n = a [ -i m zeta_n /(n(n+1)) + eps_mn D_{n-1}/n - eps_{m,n+1} D_{n+1}/(n+1) ]
 
-    then u = synth(U)/cos(lat), v = synth(V)/cos(lat). Uses the n = T+1 overflow row,
-    making this exact for triangularly-truncated (vor, div).
+    Uses the n = T+1 overflow row, making the synthesis exact for
+    triangularly-truncated (vor, div). Split out so callers can batch the
+    wind synthesis with other fields in ONE spec_to_grid (dycore fast path).
     """
     cd = vors.dtype
     im_inv = T.uv_im.astype(cd) * (-1j)
@@ -563,6 +566,15 @@ def uv_grid_from_vor_div(
 
     U = T.radius * (im_inv * divs + cm * _shift_up(vors) + cp * _shift_down(vors))
     V = T.radius * (im_inv * vors - cm * _shift_up(divs) - cp * _shift_down(divs))
+    return U, V
+
+
+def uv_grid_from_vor_div(
+    T: SphericalTransforms, vors: jax.Array, divs: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Grid winds (u, v) from spectral vorticity/divergence
+    (reference: spherical.F90:409-484 + transforms.F90:681-783)."""
+    U, V = uv_coeffs_from_vor_div(T, vors, divs)
     coslat = T.coslat[:, None]
     # one batched synthesis for both wind components (bigger MXU matmuls)
     UV = spec_to_grid(T, jnp.stack([U, V], axis=0))
@@ -582,8 +594,15 @@ def vor_div_from_uv_grid(
     """
     coslat = T.coslat[:, None]
     AB = grid_to_spec(T, jnp.stack([u / coslat, v / coslat], axis=0), truncate=False)
-    A, B = AB[0], AB[1]
+    return vor_div_from_analysis(T, AB[0], AB[1], truncate=truncate)
 
+
+def vor_div_from_analysis(
+    T: SphericalTransforms, A: jax.Array, B: jax.Array, truncate: bool = True
+) -> tuple[jax.Array, jax.Array]:
+    """Apply the (vor, div) recurrences to already-analyzed A = spec(u/cos),
+    B = spec(v/cos) — the operator half of vor_div_from_uv_grid, split out so
+    the dycore can batch the u/cos, v/cos analysis with other fields."""
     im = T.vd_im.astype(A.dtype) * 1j
     c_dn = T.vd_dn.astype(A.dtype)        # multiplies x_{n+1}
     c_up = T.vd_up.astype(A.dtype)  # multiplies x_{n-1}
