@@ -199,6 +199,7 @@ def build_implicit(
     )
 
 
+@jax.named_scope("implicit_correction")
 def implicit_correction(
     imp: Implicit,
     dt_divs: jax.Array,   # (L, m, n) complex

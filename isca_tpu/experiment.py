@@ -50,13 +50,20 @@ class Experiment(EventEmitter):
                  datadir: str = "runs", steps_per_diag_chunk: int | None = None,
                  json_logging: bool = False,
                  disk_limit_gb: float | None = None,
-                 disk_cutoff_gb: float = 5.0):
+                 disk_cutoff_gb: float = 5.0,
+                 profile: bool = False):
         super().__init__()
         self.name = name
         self.model = model
         self.datadir = os.path.join(datadir, name)
         self.diag_table = diag_table
         self.json_logging = json_logging
+        # profile=True wraps each segment in a jax.profiler trace written to
+        # run{i}/profile/ (view with tensorboard / xprof; the mpp_clock
+        # equivalent for on-device op timings — utils/clocks.py covers host
+        # phases). Named scopes ("physics", "dynamics", "grid_to_spec", ...)
+        # annotate the trace.
+        self.profile = profile
         # disk guard (check_disk_space.py / create_alert.py): warn below
         # disk_limit_gb free, abort below disk_cutoff_gb, checked per segment
         self.disk_limit_gb = disk_limit_gb
@@ -202,6 +209,13 @@ class Experiment(EventEmitter):
         self.emit("run:ready", self, i)
         t0 = _time.time()
         seconds_done = 0.0
+        prof_ctx = None
+        if self.profile:
+            prof_dir = os.path.join(rundir, "profile")
+            os.makedirs(prof_dir, exist_ok=True)
+            prof_ctx = jax.profiler.trace(prof_dir)
+            prof_ctx.__enter__()
+            log.info("segment %d: tracing to %s", i, prof_dir)
         try:
             for ic in range(n_chunks):
                 state, diag_state = (
@@ -242,6 +256,8 @@ class Experiment(EventEmitter):
             self.emit("run:failed", self, i)
             raise
         finally:
+            if prof_ctx is not None:
+                prof_ctx.__exit__(None, None, None)
             if jlog is not None:
                 jlog.close()
         wall = _time.time() - t0

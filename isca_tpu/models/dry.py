@@ -51,11 +51,15 @@ class HeldSuarezModel:
 
     def step(self, state: PrimitiveState, first: bool = False) -> PrimitiveState:
         # pressures at `current`, prognostic fields at `previous` (reference order)
-        _, _, p_full, _ = self.core.pressure_variables(state.psg.curr)
-        phys = self.forcing(
-            state.ug.prev, state.vg.prev, state.tg.prev, p_full, state.psg.curr
-        )
-        return self.core.dynamics_step(state, phys, self.surf_geopotential, first=first)
+        with jax.named_scope("physics"):
+            _, _, p_full, _ = self.core.pressure_variables(state.psg.curr)
+            phys = self.forcing(
+                state.ug.prev, state.vg.prev, state.tg.prev, p_full, state.psg.curr
+            )
+        with jax.named_scope("dynamics"):
+            return self.core.dynamics_step(
+                state, phys, self.surf_geopotential, first=first
+            )
 
     def run(self, state: PrimitiveState, num_steps: int, first: bool = True) -> PrimitiveState:
         if first:

@@ -180,17 +180,18 @@ class GreyMoistModel:
             - c.physics.radiation.equinox_day, 1.0
         ) * 2.0 * jnp.pi
 
-        phys = self.physics(
-            delta_t, c.core.dt,
-            ll(dyn.ug.prev), ll(dyn.vg.prev), ll(dyn.tg.prev), ll(q.prev),
-            pf_prev, ph_prev, pf_curr, ph_curr, zf_curr, zh_curr,
-            state.t_surf, gmt=gmt, time_since_ae=tsae,
-            bucket_depth=state.bucket_depth.curr,
-            time_seconds=state.time_seconds,
-            wg_full=ll(dyn.wg_full),
-            tke=state.tke,
-            rad_cache=state.rad_cache,
-        )
+        with jax.named_scope("physics"):
+            phys = self.physics(
+                delta_t, c.core.dt,
+                ll(dyn.ug.prev), ll(dyn.vg.prev), ll(dyn.tg.prev), ll(q.prev),
+                pf_prev, ph_prev, pf_curr, ph_curr, zf_curr, zh_curr,
+                state.t_surf, gmt=gmt, time_since_ae=tsae,
+                bucket_depth=state.bucket_depth.curr,
+                time_seconds=state.time_seconds,
+                wg_full=ll(dyn.wg_full),
+                tke=state.tke,
+                rad_cache=state.rad_cache,
+            )
 
         # bucket-depth leapfrog (idealized_moist_phys.F90:1343-1372)
         pc = c.physics
@@ -213,7 +214,9 @@ class GreyMoistModel:
             du=lf(phys.dt_u), dv=lf(phys.dt_v), dt=lf(phys.dt_t),
             dtracers={"sphum": lf(phys.dt_q)},
         )
-        dyn_new = core.dynamics_step(dyn, tend, self.surf_geopotential, first=first)
+        with jax.named_scope("dynamics"):
+            dyn_new = core.dynamics_step(
+                dyn, tend, self.surf_geopotential, first=first)
         new_state = GreyMoistState(
             dyn=dyn_new, t_surf=phys.t_surf,
             time_seconds=state.time_seconds + c.core.dt,
