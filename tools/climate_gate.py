@@ -355,28 +355,177 @@ def gate_giant(days, results, resolution="T85"):
            f"NH/SH jet-pattern correlation {corr:.2f}", results)
 
 
+def gate_realistic(days, results, resolution="T42", window_days=90,
+                   levels=None, orbit_days_override=None):
+    """Realistic continents with a seasonal cycle (the reference
+    exp/test_cases/realistic_continents capability: continental outlines +
+    Sauliere 2012 topography + bucket hydrology + seasonal insolation +
+    slab ocean with shallow land).
+
+    Criteria target continentality — the robust signature the configuration
+    exists to produce: two 90-day windows exactly half an orbit apart must
+    show (a) a seasonal cycle over NH midlatitude land, (b) land amplitude
+    well above ocean amplitude at the same latitudes (low land heat
+    capacity), (c) a stronger NH jet in the NH-winter window, (d) sane
+    surface temperatures throughout.
+    """
+    import dataclasses
+
+    from isca_tpu.models.moist import GreyMoistConfig, GreyMoistModel
+    from isca_tpu.utils.land_generator import generate_land
+
+    cfg = GreyMoistConfig()
+    phys = dataclasses.replace(
+        cfg.physics,
+        bucket=True,
+        radiation=dataclasses.replace(cfg.physics.radiation, do_seasonal=True),
+        mixed_layer=dataclasses.replace(
+            cfg.physics.mixed_layer,
+            depth=20.0, land_option="input", land_depth=2.0),
+    )
+    if orbit_days_override is not None:  # fast smoke-test orbits
+        phys = dataclasses.replace(
+            phys, constants=dataclasses.replace(
+                phys.constants,
+                orbital_period=orbit_days_override * 86400.0))
+    core = dataclasses.replace(cfg.core, resolution=resolution,
+                               dtype=jnp.float32,
+                               **({"num_levels": levels} if levels else {}))
+    model = GreyMoistModel(dataclasses.replace(cfg, core=core, physics=phys))
+    lats = np.degrees(np.asarray(model.core.T.lats))
+    lons = np.degrees(np.asarray(model.core.T.lons))
+    land, topo = generate_land(lats, lons, "continents",
+                               topo_mode="sauliere2012")
+    model.set_land(land, surf_geopotential=9.80 * topo)
+
+    dt = model.core.config.dt
+    spd = int(86400 / dt)
+    orbit_s = model.config.physics.constants.orbital_period \
+        if hasattr(model.config.physics, "constants") else 365.25 * 86400.0
+    window = window_days * spd
+    half_orbit_steps = int(round(orbit_s / 2.0 / dt))
+    gap = max(half_orbit_steps - window, spd)
+    # t=0 is the NH winter solstice (tsae = (0 - equinox_day) mod 1 = 0.25
+    # with the default equinox_day=0.75; declination convention in
+    # physics/astronomy.declination). Center window A on a whole number of
+    # orbits so A ~ NH winter, B ~ NH summer.
+    orbit_days = orbit_s / 86400.0
+    want_spin_days = max(days - 3 * window_days, 2)
+    k = max(int(round((want_spin_days + window_days / 2) / orbit_days)), 1)
+    spin = max(int(round((k * orbit_days - window_days / 2.0) * spd)), 2 * spd)
+
+    CH = 240 if window >= 240 else max(window // 2, 1)
+    run_first = jax.jit(lambda s: model.run(s, CH, first=True))
+    run_chunk = jax.jit(lambda s: model.run(s, CH, first=False))
+
+    def run_n(state, nsteps, first=False):
+        if first:
+            state = run_first(state)
+            nsteps -= CH
+        for _ in range(max(nsteps // CH, 0)):
+            state = run_chunk(state)
+        return jax.block_until_ready(state)
+
+    def accumulate(state, nsteps):
+        def chunk(carry):
+            st, acc_ts, acc_u = carry
+
+            def body(c2, _):
+                s2, a_ts, a_u = c2
+                s2 = model.step(s2, first=False)
+                return (s2, a_ts + s2.t_surf,
+                        a_u + s2.dyn.ug.curr.mean(axis=-1)), None
+
+            return jax.lax.scan(body, carry, None, length=CH)[0]
+
+        cj = jax.jit(chunk)
+        acc_ts = jnp.zeros_like(state.t_surf)
+        acc_u = jnp.zeros(state.dyn.ug.curr.shape[:-1], state.dyn.ug.curr.dtype)
+        carry = (state, acc_ts, acc_u)
+        n = max(nsteps // CH, 1)
+        for _ in range(n):
+            carry = cj(carry)
+        state, acc_ts, acc_u = jax.block_until_ready(carry)
+        return state, (np.asarray(acc_ts, np.float64) / (n * CH),
+                       np.asarray(acc_u, np.float64) / (n * CH))
+
+    t0 = time.time()
+    state = model.initial_state()
+    state = run_n(state, spin, first=True)
+    print(f"  spinup {spin // spd} days: {time.time() - t0:.0f}s", flush=True)
+    state, (ts_a, u_a) = accumulate(state, window)
+    state = run_n(state, gap)
+    state, (ts_b, u_b) = accumulate(state, window)
+    total_days = (spin + 2 * window + gap) // spd
+    wall = time.time() - t0
+    print(f"realistic continents {resolution}: {total_days} days in "
+          f"{wall:.0f}s ({total_days * 86400 / wall:,.0f} model-days/day)")
+
+    landm = np.asarray(land) > 0.5
+    mid_nh = (lats >= 40) & (lats <= 65)
+    band = np.zeros_like(landm)
+    band[mid_nh, :] = True
+    land_pts = landm & band
+    ocean_pts = (~landm) & band
+
+    amp_land = float(np.abs(ts_a - ts_b)[land_pts].mean())
+    amp_ocean = float(np.abs(ts_a - ts_b)[ocean_pts].mean())
+    bcheck("realistic_land_seasonal_amplitude", amp_land, 6.0, 80.0,
+           f"NH midlat land |DJF-JJA| t_surf {amp_land:.1f} K", results)
+    bcheck("realistic_continentality_ratio",
+           amp_land / max(amp_ocean, 1e-6), 1.4, 50.0,
+           f"land/ocean seasonal amplitude ratio "
+           f"{amp_land / max(amp_ocean, 1e-6):.2f} "
+           f"(land {amp_land:.1f} K vs ocean {amp_ocean:.1f} K)", results)
+
+    # NH winter = the window with colder NH midlatitude land
+    nh_land_a = float(ts_a[land_pts].mean())
+    nh_land_b = float(ts_b[land_pts].mean())
+    (u_w, u_s) = (u_a, u_b) if nh_land_a < nh_land_b else (u_b, u_a)
+    nh = lats > 20
+    jet_w = float(u_w[:, nh].max())
+    jet_s = float(u_s[:, nh].max())
+    bcheck("realistic_winter_jet_stronger", jet_w / max(jet_s, 1e-6),
+           1.02, 10.0,
+           f"NH jet winter {jet_w:.1f} vs summer {jet_s:.1f} m/s", results)
+    for nm, ts in (("a", ts_a), ("b", ts_b)):
+        bcheck(f"realistic_tsurf_range_{nm}", float(ts.mean()), 260.0, 310.0,
+               f"global-mean t_surf window {nm}: {ts.mean():.1f} K", results)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--days", type=int, default=1200,
                    help="Held-Suarez run length (Frierson/MiMA/giant scale off this)")
     p.add_argument("--json", default="CLIMATE_GATE.json",
                    help="artifact path ('' disables)")
-    p.add_argument("--only", default="", help="hs | frierson | mima | giant")
+    p.add_argument("--only", default="",
+                   help="hs | frierson | mima | giant | realistic")
     p.add_argument("--resolution", default="T85", help="Held-Suarez truncation")
     args = p.parse_args()
 
     results = {}
     wanted = args.only.split(",") if args.only else ["hs", "frierson", "mima",
-                                                     "giant"]
+                                                     "giant", "realistic"]
     t0 = time.time()
-    if "hs" in wanted:
-        gate_held_suarez(args.days, results, resolution=args.resolution)
-    if "frierson" in wanted:
-        gate_frierson(max(args.days // 2, 100), results)
-    if "mima" in wanted:
-        gate_mima(max(args.days // 2, 100), results)
-    if "giant" in wanted:
-        gate_giant(max(args.days, 300), results)
+    gates = [
+        ("hs", lambda: gate_held_suarez(args.days, results,
+                                        resolution=args.resolution)),
+        ("frierson", lambda: gate_frierson(max(args.days // 2, 100), results)),
+        ("mima", lambda: gate_mima(max(args.days // 2, 100), results)),
+        ("giant", lambda: gate_giant(max(args.days, 300), results)),
+        ("realistic", lambda: gate_realistic(max(args.days // 2, 300),
+                                             results)),
+    ]
+    for name, fn in gates:
+        if name not in wanted:
+            continue
+        try:
+            fn()
+        except Exception as e:  # one crashed config must not void the artifact
+            import traceback
+            traceback.print_exc()
+            check(f"{name}_completed", False, f"gate crashed: {e!r}", results)
 
     npass = sum(r["pass"] for r in results.values())
     print(f"\n{npass}/{len(results)} criteria passed")
