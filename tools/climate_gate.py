@@ -508,15 +508,36 @@ def main():
     wanted = args.only.split(",") if args.only else ["hs", "frierson", "mima",
                                                      "giant", "realistic"]
     t0 = time.time()
+    # mima (the largest RRTMG compile) runs LAST: with incremental artifact
+    # writes, a tunnel/compile hang there cannot void the other configs
     gates = [
         ("hs", lambda: gate_held_suarez(args.days, results,
                                         resolution=args.resolution)),
         ("frierson", lambda: gate_frierson(max(args.days // 2, 100), results)),
-        ("mima", lambda: gate_mima(max(args.days // 2, 100), results)),
         ("giant", lambda: gate_giant(max(args.days, 300), results)),
         ("realistic", lambda: gate_realistic(max(args.days // 2, 300),
                                              results)),
+        ("mima", lambda: gate_mima(max(args.days // 2, 100), results)),
     ]
+    dev = jax.devices()[0]
+    done = []
+
+    def write_artifact():
+        npass = sum(r["pass"] for r in results.values())
+        artifact = {
+            "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
+            "platform": dev.platform,
+            "device_kind": dev.device_kind,
+            "days_arg": args.days,
+            "configs_run": list(done),
+            "wall_seconds": round(time.time() - t0, 1),
+            "passed": npass,
+            "total": len(results),
+            "criteria": results,
+        }
+        with open(args.json, "w") as f:
+            json.dump(artifact, f, indent=1)
+
     for name, fn in gates:
         if name not in wanted:
             continue
@@ -526,25 +547,13 @@ def main():
             import traceback
             traceback.print_exc()
             check(f"{name}_completed", False, f"gate crashed: {e!r}", results)
+        done.append(name)
+        if args.json:  # incremental: a later hang cannot void earlier configs
+            write_artifact()
+            print(f"wrote {args.json} ({', '.join(done)})")
 
     npass = sum(r["pass"] for r in results.values())
     print(f"\n{npass}/{len(results)} criteria passed")
-    if args.json:
-        dev = jax.devices()[0]
-        artifact = {
-            "date": time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime()),
-            "platform": dev.platform,
-            "device_kind": dev.device_kind,
-            "days_arg": args.days,
-            "configs_run": wanted,
-            "wall_seconds": round(time.time() - t0, 1),
-            "passed": npass,
-            "total": len(results),
-            "criteria": results,
-        }
-        with open(args.json, "w") as f:
-            json.dump(artifact, f, indent=1)
-        print(f"wrote {args.json}")
     return 0 if npass == len(results) else 1
 
 
