@@ -246,3 +246,38 @@ class TestTruncationShapes:
         s = jnp.zeros(T.spec_shape, dtype=jnp.complex128).at[1, 4].set(1.0 + 0.5j)
         np.testing.assert_allclose(np.asarray(ddx_spec(T, s)),
                                    np.asarray(3j * s), atol=1e-14)
+
+
+class TestBatchedOperatorSeams:
+    """The dycore batches transforms via the operator halves
+    (uv_coeffs_from_vor_div, vor_div_from_analysis, transforms.py): each must
+    agree exactly with the corresponding whole-op it was split from."""
+
+    def test_uv_coeffs_match_uv_grid(self):
+        from isca_tpu.spectral.transforms import (
+            spec_to_grid, uv_coeffs_from_vor_div, uv_grid_from_vor_div)
+        T = make_transforms("T21", dtype=jnp.float64)
+        vor = random_spec(T, key=11, nlev=3)
+        div = random_spec(T, key=12, nlev=3)
+        u0, v0 = uv_grid_from_vor_div(T, vor, div)
+        U, V = uv_coeffs_from_vor_div(T, vor, div)
+        batch = spec_to_grid(T, jnp.concatenate([U, V], axis=0))
+        coslat = T.coslat[:, None]
+        np.testing.assert_array_equal(np.asarray(batch[:3] / coslat),
+                                      np.asarray(u0))
+        np.testing.assert_array_equal(np.asarray(batch[3:] / coslat),
+                                      np.asarray(v0))
+
+    def test_vor_div_from_analysis_matches_whole_op(self):
+        from isca_tpu.spectral.transforms import (
+            grid_to_spec, vor_div_from_analysis, vor_div_from_uv_grid)
+        T = make_transforms("T21", dtype=jnp.float64)
+        u = spec_to_grid(T, random_spec(T, key=13, nlev=2))
+        v = spec_to_grid(T, random_spec(T, key=14, nlev=2))
+        vor0, div0 = vor_div_from_uv_grid(T, u, v)
+        coslat = T.coslat[:, None]
+        AB = grid_to_spec(T, jnp.concatenate([u / coslat, v / coslat], axis=0),
+                          truncate=False)
+        vor1, div1 = vor_div_from_analysis(T, AB[:2], AB[2:])
+        np.testing.assert_array_equal(np.asarray(vor1), np.asarray(vor0))
+        np.testing.assert_array_equal(np.asarray(div1), np.asarray(div0))
