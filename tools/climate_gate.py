@@ -300,29 +300,51 @@ def gate_mima(days, results, resolution=None):
            f"sfc q max {q[-1].max()*1e3:.1f} g/kg", results)
 
 
-def gate_giant(days, results, resolution="T85"):
+def gate_giant(days, results, resolution="T42"):
     """Giant planet (Schneider & Liu 2009, JAS): equatorial superrotation and
     multiple alternating off-equator jets.
 
-    The reference case runs T213L40; at the gate's reduced resolution the
-    criteria are the robust qualitative targets: a superrotating (westerly)
-    equatorial jet much stronger than midlatitude flow, and >= 4 alternating
-    zonal jets (sign changes of zonal-mean u off the equator).
+    The reference case runs T213L40; the gate uses T42 (the same reduction
+    the reference's own trip test applies, trip_test_functions.py:50-55) so
+    a multi-thousand-day spinup fits the budget — jets emerge over many
+    thousands of days from the weak 5-AU forcing (SL09 integrate tens of
+    thousands). Criteria are the robust qualitative targets: a prograde
+    (westerly) equatorial jet and alternating off-equator jets.
     """
     from isca_tpu.models.giant import giant_planet_model
 
     model = giant_planet_model(resolution=resolution, num_levels=30, dt=900.0)
     state = model.initial_state()
     spd = int(86400 / model.core.config.dt)
-    spin = (days * 2 // 3) * spd
-    avg = (days - days * 2 // 3) * spd
+    spin = (days * 3 // 4) * spd
+    avg = (days - days * 3 // 4) * spd
 
     def fields(st):
         return {"u": st.dyn.ug.curr.mean(axis=-1),
                 "t": st.dyn.tg.curr.mean(axis=-1)}
 
+    # spin up in quarters, logging the equatorial jet so the artifact's
+    # provenance shows the spinup trajectory (not just the end state)
     t0 = time.time()
-    state, zm = zonal_time_mean(model, state, spin, avg, fields)
+    lats_ = np.rad2deg(np.asarray(model.core.T.lats))
+    eq_ = np.abs(lats_) < 8
+    CH = 256
+    run_first = jax.jit(lambda s: model.run(s, CH, first=True))
+    run_chunk = jax.jit(lambda s: model.run(s, CH, first=False))
+    state = run_first(state)
+    done = CH
+    for q in range(4):
+        target = spin * (q + 1) // 4
+        while done + CH <= target:
+            state = run_chunk(state)
+            done += CH
+        state = jax.block_until_ready(state)
+        u_eq = float(np.asarray(
+            state.dyn.ug.curr[:10].mean(axis=-1))[:, eq_].mean())
+        print(f"  spinup day {done // spd}: upper equatorial u = "
+              f"{u_eq:+.1f} m/s ({time.time() - t0:.0f}s)", flush=True)
+
+    state, zm = zonal_time_mean(model, state, 0, avg, fields)
     wall = time.time() - t0
     print(f"Giant planet {resolution}L30: {days} days in {wall:.0f}s "
           f"({days * 86400 / wall:,.0f} model-days/day)")
@@ -514,7 +536,7 @@ def main():
         ("hs", lambda: gate_held_suarez(args.days, results,
                                         resolution=args.resolution)),
         ("frierson", lambda: gate_frierson(max(args.days // 2, 100), results)),
-        ("giant", lambda: gate_giant(max(args.days, 300), results)),
+        ("giant", lambda: gate_giant(max(args.days * 6, 3000), results)),
         ("realistic", lambda: gate_realistic(max(args.days // 2, 300),
                                              results)),
         ("mima", lambda: gate_mima(max(args.days // 2, 100), results)),
