@@ -51,7 +51,9 @@ from isca_tpu.utils.input_files import regrid_bilinear
 land = regrid_bilinear(land_d["lat"], land_d["lon"], land_d["land_mask"],
                        lats, lons)
 land = (land > 0.5).astype(np.float32)
-model.set_land(land, surf_geopotential=9.80 * np.maximum(zsurf, 0.0))
+# surface HEIGHT in meters (set_land multiplies by grav itself); the ERA5
+# file is already spectrally smoothed at the model truncation
+model.set_land(land, surf_geopotential=np.maximum(zsurf, 0.0))
 model.physics.o3_series = load_pressure_climatology(o3_file, "ozone_1990",
                                                     lats, lons)
 run("realistic_earth_era5", model, args, diag=default_diag())

@@ -86,9 +86,21 @@ class GreyMoistModel:
         self.land_mask = None   # optional (lat, lon) float mask
 
     def set_land(self, land_mask, surf_geopotential=None):
-        """Attach a land mask (and optionally topography in meters)."""
+        """Attach a land mask (and optionally topography as surface HEIGHT
+        in METERS — grav is applied internally). Raw gridded topography
+        should be band-limited first (utils.topography.band_limit_topography)
+        as the reference does for input topography."""
         self.land_mask = jnp.asarray(land_mask, self.config.core.dtype)
         self.physics.land_mask = self.land_mask
+        if surf_geopotential is not None:
+            zmax = float(jnp.max(jnp.asarray(surf_geopotential)))
+            if zmax > 9500.0:
+                import warnings
+                warnings.warn(
+                    f"set_land: max surface height {zmax:.0f} m exceeds any "
+                    "terrestrial value - set_land expects METERS and applies "
+                    "grav itself (passing g*z here double-counts gravity)",
+                    RuntimeWarning, stacklevel=2)
         if surf_geopotential is not None:
             self.surf_geopotential = (
                 jnp.asarray(surf_geopotential, self.config.core.dtype) * self.core.C.grav

@@ -418,7 +418,13 @@ def gate_realistic(days, results, resolution="T42", window_days=90,
     lons = np.degrees(np.asarray(model.core.T.lons))
     land, topo = generate_land(lats, lons, "continents",
                                topo_mode="sauliere2012")
-    model.set_land(land, surf_geopotential=9.80 * topo)
+    # surface HEIGHT in meters (set_land multiplies by grav itself), and
+    # band-limit the raw topography through the model truncation — Gibbs
+    # ringing from an un-truncated field destabilizes the dycore
+    from isca_tpu.utils.topography import band_limit_topography
+    topo = band_limit_topography(model.core.T, np.asarray(topo),
+                                 n_smooth_passes=2, smooth_fraction=0.02)
+    model.set_land(land, surf_geopotential=topo)
 
     dt = model.core.config.dt
     spd = int(86400 / dt)
