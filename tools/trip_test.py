@@ -174,6 +174,26 @@ def build_realistic_continents_variable_qflux():
         do_qflux=True, qflux_amp=30.0)), land=True)
 
 
+def build_realistic_continents_topo():
+    """Continents + band-limited Sauliere topography + bucket: guards the
+    surface-height path (set_land takes METERS; topography must be
+    band-limited through the model truncation before use)."""
+    import dataclasses
+
+    from isca_tpu.utils.land_generator import generate_land
+    from isca_tpu.utils.topography import band_limit_topography
+
+    model = _moist(phys_kw=dict(bucket=True))
+    lats = np.degrees(np.asarray(model.core.T.lats))
+    lons = np.degrees(np.asarray(model.core.T.lons))
+    land, topo = generate_land(lats, lons, "continents",
+                               topo_mode="sauliere2012")
+    topo = band_limit_topography(model.core.T, np.asarray(topo, np.float64),
+                                 n_smooth_passes=2, smooth_fraction=0.02)
+    model.set_land(jnp.asarray(land, DTYPE), surf_geopotential=topo)
+    return model
+
+
 def build_simple_clouds():
     return _moist(phys_kw=dict(do_cloud_simple=True))
 
@@ -222,6 +242,7 @@ CONFIGS = {
     "realistic_continents_fixed_sst": build_realistic_continents_fixed_sst,
     "realistic_continents_variable_qflux":
         build_realistic_continents_variable_qflux,
+    "realistic_continents_topo": build_realistic_continents_topo,
     "simple_clouds": build_simple_clouds,
     "socrates_aquaplanet": build_socrates_aquaplanet,
     "socrates_aquaplanet_with_cloud": build_socrates_aquaplanet_with_cloud,
