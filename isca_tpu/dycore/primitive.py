@@ -137,6 +137,10 @@ class PrimitiveConfig:
     # (defaults to the mesh size)
     mesh: Any = None
     pad_m_to: int | None = None
+    # chunks of the batched-field axis per sharded transform; >1 pipelines
+    # the all_to_all transpose against the Legendre einsums (comm/compute
+    # overlap; no effect without a mesh)
+    overlap_chunks: int = 2
 
 
 @partial(
@@ -179,7 +183,8 @@ class PrimitiveCore:
                                     truncation_shape=c.truncation_shape,
                                     fourier_inc=c.fourier_inc,
                                     pad_m_to=c.pad_m_to,
-                                    mesh=c.mesh)
+                                    mesh=c.mesh,
+                                    overlap_chunks=c.overlap_chunks)
         self.tracer_attrs = tuple(tracer_attrs)
         self.fv_geom = fv.make_fv_geometry(self.T) if any(
             a.representation == "grid" for a in self.tracer_attrs

@@ -35,10 +35,19 @@ JUPITER = Constants(
 
 
 def giant_planet_model(
-    resolution="T42", num_levels=30, dt=900.0, dtype=None,
+    resolution="T42", num_levels=30, dt=1800.0, dtype=None, cutoff_wn=15,
 ) -> GreyMoistModel:
     """Build the giant-planet model (reduced resolution by default; the
-    reference test case runs T213L40)."""
+    reference test case runs T213L30 with dt=1800).
+
+    Faithful to the reference namelist (giant_planet_test_case.py:150-200,
+    where duplicate dict keys resolve to the LAST value):
+    reference_sea_level_press=3.0e5 (3 bar — at pstd_mks=3e5 this puts the
+    surface LW optical depth at lw_tau_0_gp=80, the Schneider & Liu 2009
+    interior greenhouse), exponential-cutoff hyperdiffusion with
+    damping_coeff=1.3889e-4 (cutoff_wn=15 is the reference trip test's own
+    T42 reduction, trip_test_functions.py:50-55; the T213 case uses 100),
+    and the rayleigh_bottom_drag module defaults (sigma_b=0.85)."""
     import jax.numpy as jnp
 
     core = PrimitiveConfig(
@@ -46,10 +55,12 @@ def giant_planet_model(
         num_levels=num_levels,
         dt=dt,
         vert_coord_option="even_sigma",
-        reference_sea_level_press=1.0e5,
+        reference_sea_level_press=3.0e5,
         valid_range_t=(50.0, 800.0),
+        damping_option="exponential_cutoff",
         damping_order=4,
-        damping_coeff=1.0e-4,
+        damping_coeff=1.3889e-4,
+        cutoff_wn=cutoff_wn,
         robert_coeff=0.03,
         initial_temperature=200.0,
         do_water_correction=False,
@@ -74,4 +85,6 @@ def giant_planet_model(
         mixed_layer=MixedLayerConfig(constants=JUPITER),
         constants=JUPITER,
     )
-    return GreyMoistModel(GreyMoistConfig(core=core, physics=physics, t_surf_init=200.0))
+    return GreyMoistModel(GreyMoistConfig(core=core, physics=physics,
+                                          t_surf_init=200.0,
+                                          initial_sphum=0.0))

@@ -85,29 +85,41 @@ class GreyMoistModel:
         self.surf_geopotential = jnp.zeros(self.core.T.grid_shape, config.core.dtype)
         self.land_mask = None   # optional (lat, lon) float mask
 
-    def set_land(self, land_mask, surf_geopotential=None):
-        """Attach a land mask (and optionally topography as surface HEIGHT
-        in METERS — grav is applied internally). Raw gridded topography
-        should be band-limited first (utils.topography.band_limit_topography)
-        as the reference does for input topography."""
+    def set_land(self, land_mask, surf_geopotential=None, units="m"):
+        """Attach a land mask (and optionally topography).
+
+        units='m' (default): `surf_geopotential` is surface HEIGHT in meters;
+        grav is applied internally. units='m2/s2': it is already a
+        geopotential (g*z) and is used as-is. Pass units explicitly when
+        feeding legacy g*z fields — the magnitude heuristic below only
+        catches heights above 9500 m, so low-relief g*z (< ~970 m * g)
+        would otherwise be silently double-multiplied by gravity.
+
+        Raw gridded topography should be band-limited first
+        (utils.topography.band_limit_topography) as the reference does for
+        input topography."""
+        if units not in ("m", "m2/s2"):
+            raise ValueError(f"set_land units must be 'm' or 'm2/s2', got {units!r}")
         self.land_mask = jnp.asarray(land_mask, self.config.core.dtype)
         self.physics.land_mask = self.land_mask
         if surf_geopotential is not None:
-            zmax = float(jnp.max(jnp.asarray(surf_geopotential)))
-            if zmax > 9500.0:
-                import warnings
-                warnings.warn(
-                    f"set_land: max surface height {zmax:.0f} m exceeds any "
-                    "terrestrial value - set_land expects METERS and applies "
-                    "grav itself (passing g*z here double-counts gravity)",
-                    RuntimeWarning, stacklevel=2)
-        if surf_geopotential is not None:
-            self.surf_geopotential = (
-                jnp.asarray(surf_geopotential, self.config.core.dtype) * self.core.C.grav
-            )
+            topo = jnp.asarray(surf_geopotential, self.config.core.dtype)
+            grav = self.core.C.grav
+            if units == "m":
+                zmax = float(jnp.max(topo))
+                if zmax > 9500.0:
+                    import warnings
+                    warnings.warn(
+                        f"set_land: max surface height {zmax:.0f} m exceeds "
+                        "any terrestrial value - set_land expects METERS by "
+                        "default and applies grav itself (pass units='m2/s2' "
+                        "for geopotential input)",
+                        RuntimeWarning, stacklevel=2)
+                self.surf_geopotential = topo * grav
+            else:
+                self.surf_geopotential = topo
             # surface height for land_option='zsurf' heat capacity
-            self.physics.zsurf = jnp.asarray(
-                surf_geopotential, self.config.core.dtype)
+            self.physics.zsurf = self.surf_geopotential / grav
 
     # valid_range_t guard (spectral_dynamics.F90:940-1005)
     validity_name = "temperature"

@@ -24,10 +24,11 @@ class GiantPlanetConfig:
     flux_heat_gp: float = 5.7           # interior heat flux (W/m^2)
     diabatic_acce: float = 1.0
     kf_days: float = 10.0               # bottom-drag timescale
-    sigma_b: float = 0.7                # drag below this sigma
+    sigma_b: float = 0.85               # drag below this sigma (module default,
+    #                                     rayleigh_bottom_drag.F90:23)
     variable_drag: bool = False
-    rc: float = 0.8                     # cos(lat) cutoff for variable drag
-    h_lambda: float = 5.0e6             # e-folding length (m) for variable drag
+    rc: float = 0.84                    # cos(lat) cutoff for variable drag
+    h_lambda: float = 100.0e3           # e-folding length (m) for variable drag
     do_energy_conserv_ray: bool = True
     constants: Constants = EARTH
 

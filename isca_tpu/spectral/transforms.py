@@ -87,7 +87,8 @@ RESOLUTIONS: dict[str, tuple[int, int, int]] = {
         "dft_syn",
     ],
     meta_fields=["truncation", "num_fourier", "num_fourier_true", "num_spherical",
-                 "nlon", "nlat", "radius", "fourier_method", "precision", "mesh"],
+                 "nlon", "nlat", "radius", "fourier_method", "precision", "mesh",
+                 "overlap_chunks"],
 )
 @dataclasses.dataclass(frozen=True)
 class SphericalTransforms:
@@ -146,6 +147,14 @@ class SphericalTransforms:
     # mpp_transmit transposes (transforms.F90:970-1056). None = single-device
     # dense path (also correct under GSPMD with sharded inputs).
     mesh: Any = None
+    # Comm/compute overlap for the shard_map path (SURVEY hard part #3,
+    # mirroring what the reference's per-field ring transposes cannot do,
+    # transforms.F90:970-1056): split the leading batched-field axis into
+    # this many independent DFT -> all_to_all -> Legendre chains so XLA's
+    # async-collective scheduler can run chunk k's all_to_all while chunk
+    # k-1's Legendre einsum occupies the MXU. 1 = monolithic (one transpose
+    # per transform). Only the mesh path is affected.
+    overlap_chunks: int = 1
 
     @property
     def prec(self):
@@ -177,6 +186,7 @@ def make_transforms(
     fourier_inc: int = 1,
     pad_m_to: int | None = None,
     mesh: Any = None,
+    overlap_chunks: int = 2,
 ) -> SphericalTransforms:
     """Build transform tables for a triangular or rhomboidal truncation.
 
@@ -212,7 +222,10 @@ def make_transforms(
     transform stages only.
 
     mesh (jax.sharding.Mesh, axis "x") switches grid_to_spec / spec_to_grid
-    to the explicit shard_map transpose path.
+    to the explicit shard_map transpose path. overlap_chunks (mesh path
+    only) splits each transform's batched leading axis into that many
+    independent transpose chains so the all_to_all of one chunk overlaps
+    the Legendre compute of the previous one (see SphericalTransforms).
     """
     if isinstance(truncation, str):
         truncation, d_nlon, d_nlat = RESOLUTIONS[truncation]
@@ -319,6 +332,7 @@ def make_transforms(
         num_fourier=M,
         num_fourier_true=M_true,
         mesh=mesh,
+        overlap_chunks=max(int(overlap_chunks), 1),
         num_spherical=N,
         nlon=nlon,
         nlat=nlat,
@@ -452,11 +466,24 @@ def _axspec(ndim: int, axis: int) -> PartitionSpec:
     return PartitionSpec(*spec)
 
 
+def _chunk_bounds(n: int, k: int):
+    """<=k contiguous chunk boundaries covering n rows (all non-empty)."""
+    k = max(1, min(int(k), int(n)))
+    bounds = np.linspace(0, n, k + 1).astype(int)
+    return [(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+
+
 def _grid_to_spec_shmap(T: SphericalTransforms, g: jax.Array) -> jax.Array:
-    """grid (..., lat_shard, lon) -> spectral (..., m_shard, n), untruncated."""
+    """grid (..., lat_shard, lon) -> spectral (..., m_shard, n), untruncated.
+
+    With T.overlap_chunks > 1 the leading batched axis is split into
+    independent DFT -> all_to_all -> Legendre chains; XLA's async-collective
+    scheduler overlaps chunk k's transpose with chunk k-1's Legendre matmul
+    (SURVEY hard part #3 — the reference's ring transposes are strictly
+    sequential per field, transforms.F90:970-1056)."""
     M1 = T.num_fourier + 1
 
-    def body(g_loc, dft_ana, Pw_loc):
+    def one(g_loc, dft_ana, Pw_loc):
         # local longitude analysis on the device's latitude band
         FF = jnp.einsum("...l,lm->...m", g_loc, dft_ana, precision=T.prec)
         FF = jnp.stack([FF[..., :M1], FF[..., M1:]], axis=0)   # (2,...,lat_loc,M1)
@@ -466,6 +493,14 @@ def _grid_to_spec_shmap(T: SphericalTransforms, g: jax.Array) -> jax.Array:
         # local Legendre analysis: full latitudes x the device's m block
         ss = jnp.einsum("jmn,r...jm->r...mn", Pw_loc, FF, precision=T.prec)
         return jax.lax.complex(ss[0], ss[1])
+
+    def body(g_loc, dft_ana, Pw_loc):
+        if T.overlap_chunks > 1 and g_loc.ndim >= 3 and g_loc.shape[0] > 1:
+            return jnp.concatenate(
+                [one(g_loc[a:b], dft_ana, Pw_loc)
+                 for a, b in _chunk_bounds(g_loc.shape[0], T.overlap_chunks)],
+                axis=0)
+        return one(g_loc, dft_ana, Pw_loc)
 
     nd = g.ndim
     return _shard_map(
@@ -477,9 +512,12 @@ def _grid_to_spec_shmap(T: SphericalTransforms, g: jax.Array) -> jax.Array:
 
 
 def _spec_to_grid_shmap(T: SphericalTransforms, s: jax.Array) -> jax.Array:
-    """spectral (..., m_shard, n) -> grid (..., lat_shard, lon)."""
+    """spectral (..., m_shard, n) -> grid (..., lat_shard, lon).
 
-    def body(s_loc, P_loc, dft_syn):
+    overlap_chunks > 1: see _grid_to_spec_shmap (Legendre synthesis of chunk
+    k runs while chunk k-1's all_to_all is in flight)."""
+
+    def one(s_loc, P_loc, dft_syn):
         ss = jnp.stack([s_loc.real, s_loc.imag], axis=0)        # (2,...,m_loc,n)
         # local Legendre synthesis: all latitudes x the device's m block
         FF = jnp.einsum("jmn,r...mn->r...jm", P_loc, ss, precision=T.prec)
@@ -489,6 +527,14 @@ def _spec_to_grid_shmap(T: SphericalTransforms, s: jax.Array) -> jax.Array:
         F2 = jnp.concatenate([FF[0], FF[1]], axis=-1)           # (...,lat_loc,2*M1)
         return jnp.einsum("...m,ml->...l", F2, dft_syn,
                           precision=T.prec).astype(T.P.dtype)
+
+    def body(s_loc, P_loc, dft_syn):
+        if T.overlap_chunks > 1 and s_loc.ndim >= 3 and s_loc.shape[0] > 1:
+            return jnp.concatenate(
+                [one(s_loc[a:b], P_loc, dft_syn)
+                 for a, b in _chunk_bounds(s_loc.shape[0], T.overlap_chunks)],
+                axis=0)
+        return one(s_loc, P_loc, dft_syn)
 
     nd = s.ndim
     return _shard_map(

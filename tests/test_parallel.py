@@ -122,6 +122,89 @@ class TestSharding:
         rows = {s.index[-2] for s in out.dyn.ts.curr.addressable_shards}
         assert len(rows) == 8, f"spectral m axis replicated: {rows}"
 
+    def test_overlap_chunks_pipeline(self):
+        """Comm/compute overlap (SURVEY hard part #3): overlap_chunks=k
+        splits each sharded transform into k independent
+        DFT->all_to_all->Legendre chains (k all-to-alls in HLO, overlappable
+        by XLA's async-collective scheduler) and is bit-identical to the
+        monolithic transpose."""
+        from isca_tpu.spectral import transforms as tr
+
+        mesh = make_mesh(8)
+        T1 = tr.make_transforms("T42", dtype=jnp.float64, mesh=mesh,
+                                overlap_chunks=1)
+        T3 = tr.make_transforms("T42", dtype=jnp.float64, mesh=mesh,
+                                overlap_chunks=3)
+        rng = np.random.default_rng(0)
+        g = jnp.asarray(rng.standard_normal((7, T1.nlat, T1.nlon)))
+        s1, s3 = tr.grid_to_spec(T1, g), tr.grid_to_spec(T3, g)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s3))
+        np.testing.assert_array_equal(np.asarray(tr.spec_to_grid(T1, s1)),
+                                      np.asarray(tr.spec_to_grid(T3, s3)))
+
+        h1 = jax.jit(lambda x: tr.grid_to_spec(T1, x)).lower(g).compile().as_text()
+        h3 = jax.jit(lambda x: tr.grid_to_spec(T3, x)).lower(g).compile().as_text()
+        assert h1.count("all-to-all(") == 1
+        assert h3.count("all-to-all(") == 3, "chunked transposes not independent"
+        hs3 = jax.jit(lambda s: tr.spec_to_grid(T3, s)).lower(s3).compile().as_text()
+        assert hs3.count("all-to-all(") == 3
+
+    def test_sharded_exotic_truncations(self):
+        """mesh + rhomboidal truncation and mesh + fourier_inc>1 must agree
+        with the single-device path (VERDICT r2 item 7)."""
+        from isca_tpu.spectral import transforms as tr
+
+        mesh = make_mesh(8)
+        rng = np.random.default_rng(1)
+        for kw in (dict(truncation_shape="rhomboidal"), dict(fourier_inc=2)):
+            T0 = tr.make_transforms(21, dtype=jnp.float64, **kw)
+            Tm = tr.make_transforms(21, dtype=jnp.float64, mesh=mesh, **kw)
+            M1 = T0.num_fourier + 1
+            g = jnp.asarray(rng.standard_normal((5, T0.nlat, T0.nlon)))
+            s0, sm = tr.grid_to_spec(T0, g), tr.grid_to_spec(Tm, g)
+            np.testing.assert_allclose(np.asarray(sm[..., :M1, :]),
+                                       np.asarray(s0), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(tr.spec_to_grid(Tm, sm)),
+                                       np.asarray(tr.spec_to_grid(T0, s0)),
+                                       atol=1e-12)
+            u = jnp.asarray(rng.standard_normal((3, T0.nlat, T0.nlon)))
+            v = jnp.asarray(rng.standard_normal((3, T0.nlat, T0.nlon)))
+            vor0, div0 = tr.vor_div_from_uv_grid(T0, u, v)
+            vorm, divm = tr.vor_div_from_uv_grid(Tm, u, v)
+            np.testing.assert_allclose(np.asarray(vorm[..., :M1, :]),
+                                       np.asarray(vor0), atol=1e-12)
+            um, vm = tr.uv_grid_from_vor_div(Tm, vorm, divm)
+            u0, v0 = tr.uv_grid_from_vor_div(T0, vor0, div0)
+            np.testing.assert_allclose(np.asarray(um), np.asarray(u0), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(vm), np.asarray(v0), atol=1e-12)
+
+    def test_sharded_t85_flagship_resolution(self):
+        """Sharded-vs-single equality at the BENCH resolution, dry HS T85L25
+        (VERDICT r2 item 4a): 2 steps on the 8-device f64 mesh."""
+        core = PrimitiveConfig(resolution="T85", num_levels=25, dt=600.0,
+                               dtype=jnp.float64)
+        model = HeldSuarezModel(HeldSuarezConfig(core=core))
+        s0 = model.initial_state()
+        ref = jax.jit(lambda s: model.run(s, 2))(s0)
+
+        mesh = make_mesh(8)
+        core_m = PrimitiveConfig(resolution="T85", num_levels=25, dt=600.0,
+                                 dtype=jnp.float64, mesh=mesh)
+        model_m = HeldSuarezModel(HeldSuarezConfig(core=core_m))
+        nlat = model_m.core.T.nlat
+        s_sh = shard_pytree(mesh, model_m.initial_state(), nlat=nlat)
+        out_sh = sharding_pytree(mesh, s_sh, nlat=nlat)
+        out = jax.jit(lambda s: model_m.run(s, 2), out_shardings=out_sh)(s_sh)
+
+        np.testing.assert_allclose(np.asarray(out.tg.curr),
+                                   np.asarray(ref.tg.curr), atol=1e-9)
+        np.testing.assert_allclose(np.asarray(out.psg.curr),
+                                   np.asarray(ref.psg.curr), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(out.ug.curr),
+                                   np.asarray(ref.ug.curr), atol=1e-8)
+        rows = {s.index[-2] for s in out.ts.curr.addressable_shards}
+        assert len(rows) == 8, f"spectral m axis replicated: {rows}"
+
     def test_transform_repartition_is_all_to_all(self):
         """The grid<->spec re-partition must lower to all-to-all — never to an
         all-gather of grid/spectral-sized arrays (VERDICT round-1 item 1)."""

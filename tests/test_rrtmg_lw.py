@@ -15,6 +15,13 @@ import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
+if __name__ == "__main__":  # standalone golden regeneration (see bottom)
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_platforms", "cpu")
+
 from extract_rrtmg_lw import make_synthetic_kg  # noqa: E402
 from isca_tpu.physics.rrtmg_lw import (  # noqa: E402
     NGC,
@@ -258,3 +265,76 @@ def test_mcica_lw_converges_to_overcast(kg):
             mcica_key=jax.random.PRNGKey(7), **kw)
     np.testing.assert_allclose(np.asarray(mc.olr), np.asarray(frac.olr),
                                rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Frozen MLS golden on the SHIPPED synthetic k-tables (VERDICT r2 item 8):
+# pins the production LW path numerically (mirroring rrtmg_sw_mls.json for
+# the SW side) even before AER's real rrtmg_lw.nc is installed. The tables
+# are marked synthetic (the RuntimeWarning still fires at model build);
+# regenerating them regenerates this golden:
+#     python tests/test_rrtmg_lw.py --update
+# ---------------------------------------------------------------------------
+
+GOLDEN_PATH = Path(__file__).resolve().parent / "goldens" / "rrtmg_lw_mls.json"
+
+
+def mls_profile(L=40, ncol=2, ps=1.0e5, t_sfc=294.0, rh=0.4):
+    """Top-down MLS-like columns incl. half-level temperatures."""
+    p_half = np.linspace(20.0, ps, L + 1)
+    p_full = 0.5 * (p_half[:-1] + p_half[1:])
+    H = 7500.0
+    z = H * np.log(ps / p_full)
+    zh = H * np.log(ps / np.maximum(p_half, 1.0))
+    t = np.maximum(t_sfc - 6.5e-3 * z, 216.0)
+    th = np.maximum(t_sfc - 6.5e-3 * zh, 216.0)
+    es = 610.78 * np.exp(17.27 * (t - 273.15) / (t - 35.85))
+    q = np.minimum(rh * 0.622 * es / p_full, 0.02)
+    o3 = 1.5e-5 * np.exp(-((np.log(p_full) - np.log(2000.0)) / 0.8) ** 2) + 1e-8
+    tile = lambda a, n=L: jnp.broadcast_to(jnp.asarray(a), (ncol, n))
+    return (tile(p_half, L + 1), tile(p_full), tile(t), tile(th, L + 1),
+            jnp.full((ncol,), t_sfc), tile(q), tile(o3))
+
+
+def _mls_fluxes():
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        lw = RRTMGLw(RRTMGLwConfig(co2vmr=3.0e-4, n2ovmr=3.2e-7,
+                                   ch4vmr=1.8e-6))  # shipped synthetic npz
+    out = lw(*mls_profile())
+    return {
+        "uflx": np.asarray(out.uflx[0], np.float64).tolist(),
+        "dflx": np.asarray(out.dflx[0], np.float64).tolist(),
+        "hr": np.asarray(out.hr[0], np.float64).tolist(),
+        "olr": float(np.asarray(out.olr[0])),
+    }
+
+
+def test_mls_column_flux_golden_synthetic_tables():
+    import json
+
+    with open(GOLDEN_PATH) as fh:
+        gold = json.load(fh)
+    got = _mls_fluxes()
+    scale = float(np.abs(np.asarray(gold["uflx"])).max())
+    for key in ("uflx", "dflx", "hr"):
+        np.testing.assert_allclose(
+            np.asarray(got[key]), np.asarray(gold[key]), rtol=2e-4,
+            atol=(1e-6 * scale if key != "hr" else 1e-6),
+            err_msg=f"LW {key} drifted from golden")
+    np.testing.assert_allclose(got["olr"], gold["olr"], rtol=2e-4)
+    # physical sanity pinned alongside the numbers: OLR below the surface
+    # Planck emission, above the coldest-layer emission
+    assert 100.0 < gold["olr"] < 500.0
+
+
+if __name__ == "__main__":
+    import json
+
+    if "--update" in sys.argv:
+        GOLDEN_PATH.parent.mkdir(exist_ok=True)
+        with open(GOLDEN_PATH, "w") as fh:
+            json.dump(_mls_fluxes(), fh)
+        print(f"wrote {GOLDEN_PATH}")

@@ -33,19 +33,24 @@ import jax.numpy as jnp
 
 
 def zonal_time_mean(model, state, nsteps_spinup, nsteps_avg, accum_fields):
-    """Run spinup, then accumulate zonal means of requested diagnostics."""
+    """Run spinup, then accumulate zonal means of requested diagnostics.
+
+    With nsteps_spinup == 0 the state is assumed already integrated (warm
+    leapfrog levels) and averaging starts immediately — no first=True
+    cold-restart chunk is inserted mid-integration."""
 
     # Dispatch in ~day-sized jit chunks (very long single scans stall the
     # remote compiler; 1 ms/dispatch is negligible at this chunk size).
     CH = 256
-    run_first = jax.jit(lambda s: model.run(s, CH, first=True))
     run_chunk = jax.jit(lambda s: model.run(s, CH, first=False))
 
     t0 = time.time()
-    state = run_first(state)
-    for _ in range(max(nsteps_spinup // CH - 1, 0)):
-        state = run_chunk(state)
-    state = jax.block_until_ready(state)
+    if nsteps_spinup > 0:
+        run_first = jax.jit(lambda s: model.run(s, CH, first=True))
+        state = run_first(state)
+        for _ in range(max(nsteps_spinup // CH - 1, 0)):
+            state = run_chunk(state)
+        state = jax.block_until_ready(state)
     print(f"  spinup {nsteps_spinup} steps: {time.time() - t0:.0f}s", flush=True)
 
     def avg_chunk(carry):
@@ -97,11 +102,12 @@ def bcheck(name, value, lo, hi, detail, results):
                  value=value, bounds=(lo, hi))
 
 
-def gate_held_suarez(days, results, resolution="T85"):
+def gate_held_suarez(days, results, resolution="T85", precision="highest"):
     from isca_tpu.dycore.primitive import PrimitiveConfig
     from isca_tpu.models.dry import HeldSuarezConfig, HeldSuarezModel
 
     core = PrimitiveConfig(resolution=resolution, num_levels=25, dt=600.0,
+                           transform_precision=precision,
                            dtype=jnp.float32)
     model = HeldSuarezModel(HeldSuarezConfig(core=core))
     state = model.initial_state()
@@ -313,7 +319,7 @@ def gate_giant(days, results, resolution="T42"):
     """
     from isca_tpu.models.giant import giant_planet_model
 
-    model = giant_planet_model(resolution=resolution, num_levels=30, dt=900.0)
+    model = giant_planet_model(resolution=resolution, num_levels=30)
     state = model.initial_state()
     spd = int(86400 / model.core.config.dt)
     spin = (days * 3 // 4) * spd
@@ -377,18 +383,26 @@ def gate_giant(days, results, resolution="T42"):
            f"NH/SH jet-pattern correlation {corr:.2f}", results)
 
 
-def gate_realistic(days, results, resolution="T42", window_days=90,
-                   levels=None, orbit_days_override=None):
+def gate_realistic(days, results, resolution="T42", levels=None,
+                   orbit_days_override=None):
     """Realistic continents with a seasonal cycle (the reference
     exp/test_cases/realistic_continents capability: continental outlines +
     Sauliere 2012 topography + bucket hydrology + seasonal insolation +
-    slab ocean with shallow land).
+    slab ocean with shallow land). The land surface follows the reference's
+    namelist_basefile.nml:55-59: 20 m slab with land_option='input' and
+    land_h_capacity_prefactor=0.1 (NOT land_depth, which mixed_layer.F90:554
+    ignores under 'input'), land_albedo_prefactor=1.3 on a 0.25 ocean
+    albedo. Radiation here is grey two-stream (the reference case uses RRTM;
+    the continentality criteria below do not depend on that choice).
 
     Criteria target continentality — the robust signature the configuration
-    exists to produce: two 90-day windows exactly half an orbit apart must
-    show (a) a seasonal cycle over NH midlatitude land, (b) land amplitude
-    well above ocean amplitude at the same latitudes (low land heat
-    capacity), (c) a stronger NH jet in the NH-winter window, (d) sane
+    exists to produce. A full orbit is accumulated as four consecutive
+    quarter-orbit windows centered on the solstices/equinoxes; NH winter is
+    identified empirically as the window with coldest NH midlatitude land
+    (robust to slab-ocean phase lag), summer is the window half an orbit
+    away. Checks: (a) a seasonal cycle over NH midlatitude land, (b) land
+    amplitude well above ocean amplitude at the same latitudes (low land
+    heat capacity), (c) a stronger NH jet in the NH-winter window, (d) sane
     surface temperatures throughout.
     """
     import dataclasses
@@ -403,7 +417,9 @@ def gate_realistic(days, results, resolution="T42", window_days=90,
         radiation=dataclasses.replace(cfg.physics.radiation, do_seasonal=True),
         mixed_layer=dataclasses.replace(
             cfg.physics.mixed_layer,
-            depth=20.0, land_option="input", land_depth=2.0),
+            depth=20.0, land_option="input",
+            land_h_capacity_prefactor=0.1,
+            albedo_value=0.25, land_albedo_prefactor=1.3),
     )
     if orbit_days_override is not None:  # fast smoke-test orbits
         phys = dataclasses.replace(
@@ -428,19 +444,15 @@ def gate_realistic(days, results, resolution="T42", window_days=90,
 
     dt = model.core.config.dt
     spd = int(86400 / dt)
-    orbit_s = model.config.physics.constants.orbital_period \
-        if hasattr(model.config.physics, "constants") else 365.25 * 86400.0
-    window = window_days * spd
-    half_orbit_steps = int(round(orbit_s / 2.0 / dt))
-    gap = max(half_orbit_steps - window, spd)
-    # t=0 is the NH winter solstice (tsae = (0 - equinox_day) mod 1 = 0.25
-    # with the default equinox_day=0.75; declination convention in
-    # physics/astronomy.declination). Center window A on a whole number of
-    # orbits so A ~ NH winter, B ~ NH summer.
+    orbit_s = model.config.physics.constants.orbital_period
     orbit_days = orbit_s / 86400.0
-    want_spin_days = max(days - 3 * window_days, 2)
-    k = max(int(round((want_spin_days + window_days / 2) / orbit_days)), 1)
-    spin = max(int(round((k * orbit_days - window_days / 2.0) * spd)), 2 * spd)
+    # four windows tile one orbit; window 0 is centered on t = k*orbit,
+    # the NH winter solstice (tsae = 0.25 orbit with equinox_day=0.75)
+    window = max(int(round(orbit_days / 4.0 * spd)), 2)
+    # spinup to k*orbit - window/2, at least ~1.5 orbits for the 20 m slab
+    want_spin_days = max(days, int(1.5 * orbit_days))
+    k = max(int(round((want_spin_days + orbit_days / 8.0) / orbit_days)), 2)
+    spin = max(int(round(k * orbit_days * spd - window / 2.0)), 2 * spd)
 
     CH = 240 if window >= 240 else max(window // 2, 1)
     run_first = jax.jit(lambda s: model.run(s, CH, first=True))
@@ -481,10 +493,12 @@ def gate_realistic(days, results, resolution="T42", window_days=90,
     state = model.initial_state()
     state = run_n(state, spin, first=True)
     print(f"  spinup {spin // spd} days: {time.time() - t0:.0f}s", flush=True)
-    state, (ts_a, u_a) = accumulate(state, window)
-    state = run_n(state, gap)
-    state, (ts_b, u_b) = accumulate(state, window)
-    total_days = (spin + 2 * window + gap) // spd
+    windows = []
+    for w in range(4):
+        state, acc = accumulate(state, window)
+        windows.append(acc)
+        print(f"  window {w} done ({time.time() - t0:.0f}s)", flush=True)
+    total_days = (spin + 4 * window) // spd
     wall = time.time() - t0
     print(f"realistic continents {resolution}: {total_days} days in "
           f"{wall:.0f}s ({total_days * 86400 / wall:,.0f} model-days/day)")
@@ -496,29 +510,72 @@ def gate_realistic(days, results, resolution="T42", window_days=90,
     land_pts = landm & band
     ocean_pts = (~landm) & band
 
-    amp_land = float(np.abs(ts_a - ts_b)[land_pts].mean())
-    amp_ocean = float(np.abs(ts_a - ts_b)[ocean_pts].mean())
+    # NH winter = window with coldest NH midlatitude land; summer = +half orbit
+    land_means = [float(ts[land_pts].mean()) for ts, _ in windows]
+    iw = int(np.argmin(land_means))
+    isummer = (iw + 2) % 4
+    ts_w, u_w = windows[iw]
+    ts_s, u_s = windows[isummer]
+    print(f"  window NH-land means {['%.1f' % m for m in land_means]} K "
+          f"-> winter=window {iw}", flush=True)
+
+    amp_land = float(np.abs(ts_w - ts_s)[land_pts].mean())
+    amp_ocean = float(np.abs(ts_w - ts_s)[ocean_pts].mean())
     bcheck("realistic_land_seasonal_amplitude", amp_land, 6.0, 80.0,
-           f"NH midlat land |DJF-JJA| t_surf {amp_land:.1f} K", results)
+           f"NH midlat land |winter-summer| t_surf {amp_land:.1f} K", results)
     bcheck("realistic_continentality_ratio",
            amp_land / max(amp_ocean, 1e-6), 1.4, 50.0,
            f"land/ocean seasonal amplitude ratio "
            f"{amp_land / max(amp_ocean, 1e-6):.2f} "
            f"(land {amp_land:.1f} K vs ocean {amp_ocean:.1f} K)", results)
 
-    # NH winter = the window with colder NH midlatitude land
-    nh_land_a = float(ts_a[land_pts].mean())
-    nh_land_b = float(ts_b[land_pts].mean())
-    (u_w, u_s) = (u_a, u_b) if nh_land_a < nh_land_b else (u_b, u_a)
     nh = lats > 20
     jet_w = float(u_w[:, nh].max())
     jet_s = float(u_s[:, nh].max())
     bcheck("realistic_winter_jet_stronger", jet_w / max(jet_s, 1e-6),
            1.02, 10.0,
            f"NH jet winter {jet_w:.1f} vs summer {jet_s:.1f} m/s", results)
-    for nm, ts in (("a", ts_a), ("b", ts_b)):
+    for nm, (ts, _) in (("winter", windows[iw]), ("summer", windows[isummer])):
         bcheck(f"realistic_tsurf_range_{nm}", float(ts.mean()), 260.0, 310.0,
-               f"global-mean t_surf window {nm}: {ts.mean():.1f} K", results)
+               f"global-mean t_surf {nm} window: {ts.mean():.1f} K", results)
+
+
+def merge_artifacts(paths, out):
+    """Merge per-config gate artifacts (from --only runs) into one file.
+    Criteria are unioned (later files win on key collisions), configs_run
+    concatenated, wall times summed. Provenance (platform/device/date) is
+    taken per-config from each source into a 'runs' list."""
+    merged = {"criteria": {}, "configs_run": [], "wall_seconds": 0.0,
+              "runs": []}
+    for path in paths:
+        with open(path) as f:
+            art = json.load(f)
+        merged["criteria"].update(art.get("criteria", {}))
+        merged["configs_run"].extend(
+            c for c in art.get("configs_run", [])
+            if c not in merged["configs_run"])
+        merged["wall_seconds"] += art.get("wall_seconds", 0.0)
+        merged["runs"].append({
+            "source": os.path.basename(path),
+            "configs": art.get("configs_run", []),
+            "date": art.get("date"),
+            "platform": art.get("platform"),
+            "device_kind": art.get("device_kind"),
+            "days_arg": art.get("days_arg"),
+            "wall_seconds": art.get("wall_seconds"),
+        })
+    merged["passed"] = sum(r["pass"] for r in merged["criteria"].values())
+    merged["total"] = len(merged["criteria"])
+    merged["date"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
+    merged["platform"] = merged["runs"][0]["platform"] if merged["runs"] else None
+    merged["device_kind"] = merged["runs"][0]["device_kind"] if merged["runs"] else None
+    merged["wall_seconds"] = round(merged["wall_seconds"], 1)
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1)
+    print(f"merged {len(paths)} artifacts -> {out}: "
+          f"{merged['passed']}/{merged['total']} criteria, "
+          f"configs {merged['configs_run']}")
+    return 0 if merged["passed"] == merged["total"] else 1
 
 
 def main():
@@ -530,7 +587,15 @@ def main():
     p.add_argument("--only", default="",
                    help="hs | frierson | mima | giant | realistic")
     p.add_argument("--resolution", default="T85", help="Held-Suarez truncation")
+    p.add_argument("--precision", default="highest",
+                   help="Held-Suarez transform_precision (gate 'high' before "
+                        "promoting it to the bench configuration)")
+    p.add_argument("--merge", nargs="+", metavar="JSON",
+                   help="merge per-config artifacts into --json and exit")
     args = p.parse_args()
+
+    if args.merge:
+        return merge_artifacts(args.merge, args.json)
 
     results = {}
     wanted = args.only.split(",") if args.only else ["hs", "frierson", "mima",
@@ -540,7 +605,8 @@ def main():
     # writes, a tunnel/compile hang there cannot void the other configs
     gates = [
         ("hs", lambda: gate_held_suarez(args.days, results,
-                                        resolution=args.resolution)),
+                                        resolution=args.resolution,
+                                        precision=args.precision)),
         ("frierson", lambda: gate_frierson(max(args.days // 2, 100), results)),
         ("giant", lambda: gate_giant(max(args.days * 6, 3000), results)),
         ("realistic", lambda: gate_realistic(max(args.days // 2, 300),

@@ -251,6 +251,30 @@ CONFIGS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Slow tier (--slow): one configuration at the REFERENCE test-case resolution
+# for the reference trip-test run length (3 days, trip_test_functions.py:
+# 258-260), mirroring its budget instead of the fast T21 reduction above.
+# Weekly/manual: not part of the default pytest suite.
+# ---------------------------------------------------------------------------
+
+def build_frierson_fullres():
+    """The full frierson_test_case.py configuration: T42L25, Frierson sigma
+    ladder, dt=720 s (reference exp/test_cases/frierson/frierson_test_case.py)."""
+    import dataclasses
+    from isca_tpu.models.moist import GreyMoistModel, frierson_test_case_config
+    cfg = frierson_test_case_config()
+    cfg = dataclasses.replace(
+        cfg, core=dataclasses.replace(cfg.core, dtype=DTYPE))
+    return GreyMoistModel(cfg)
+
+
+SLOW_CONFIGS = {"frierson_fullres": build_frierson_fullres}
+SLOW_DAYS = 3.0
+SLOW_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "..", "tests",
+                                "goldens", "trip_goldens_slow.json")
+
+
 def field_stats(a) -> dict:
     a = np.asarray(a, np.float64).ravel()
     n = a.size
@@ -259,11 +283,11 @@ def field_stats(a) -> dict:
             "min": float(a.min()), "max": float(a.max()), "probes": probes}
 
 
-def run_config(name: str) -> dict:
-    model = CONFIGS[name]()
+def run_config(name: str, configs=None, days=None) -> dict:
+    model = (configs or CONFIGS)[name]()
     state = model.initial_state()
     dt = getattr(model.config, "dt", None) or model.config.core.dt
-    steps = int(round(DAYS * 86400.0 / dt))
+    steps = int(round((days or DAYS) * 86400.0 / dt))
     state = jax.jit(lambda s: model.run(s, steps, first=True))(state)
     jax.block_until_ready(state)
     fields = model.diag_fields(state)
@@ -300,23 +324,31 @@ def main():
                    help="regenerate the goldens")
     p.add_argument("--only", default="",
                    help="comma-separated subset of config names")
+    p.add_argument("--slow", action="store_true",
+                   help="slow tier: full test-case resolution, 3 days "
+                        "(weekly/manual; mirrors the reference trip-test "
+                        "budget, trip_test_functions.py:258-260)")
     args = p.parse_args()
 
-    names = [n for n in (args.only.split(",") if args.only else CONFIGS)
+    configs = SLOW_CONFIGS if args.slow else CONFIGS
+    days = SLOW_DAYS if args.slow else DAYS
+    golden_path = SLOW_GOLDEN_PATH if args.slow else GOLDEN_PATH
+
+    names = [n for n in (args.only.split(",") if args.only else configs)
              if n]
     for n in names:
-        if n not in CONFIGS:
-            p.error(f"unknown config {n!r}; known: {', '.join(CONFIGS)}")
+        if n not in configs:
+            p.error(f"unknown config {n!r}; known: {', '.join(configs)}")
 
     goldens = {}
-    if os.path.exists(GOLDEN_PATH):
-        with open(GOLDEN_PATH) as f:
+    if os.path.exists(golden_path):
+        with open(golden_path) as f:
             goldens = json.load(f)
 
     failures = []
     for n in names:
         t0 = time.time()
-        got = run_config(n)
+        got = run_config(n, configs=configs, days=days)
         wall = time.time() - t0
         if args.update:
             goldens[n] = got
@@ -332,10 +364,10 @@ def main():
                 print(f"    {e}")
 
     if args.update:
-        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
-        with open(GOLDEN_PATH, "w") as f:
+        os.makedirs(os.path.dirname(golden_path), exist_ok=True)
+        with open(golden_path, "w") as f:
             json.dump(goldens, f, indent=1, sort_keys=True)
-        print(f"goldens written: {GOLDEN_PATH}")
+        print(f"goldens written: {golden_path}")
         return 0
     if failures:
         print(f"{len(failures)} golden mismatches")
