@@ -56,6 +56,12 @@ class RRTMConfig:
     n2ovmr: float = 3.2e-7
     ch4vmr: float = 1.8e-6
     # radiation-grid cost controls (rrtm_radiation.F90:156-177):
+    # input guards before the k-distribution solvers (rrtm_radiation.F90:
+    # 147-149): radiation never sees q below h2o_lower_limit or T outside
+    # [temp_lower_limit, temp_upper_limit]
+    h2o_lower_limit: float = 2.0e-7
+    temp_lower_limit: float = 100.0
+    temp_upper_limit: float = 370.0
     lonstep: int = 1                # subsample fields along longitude
     do_zm_rad: bool = False         # return only zonal-mean radiation
     do_zm_tracers: bool = False     # feed zonal-mean q to radiation
@@ -164,6 +170,14 @@ class RRTMRadiation:
         p_full = 0.5 * (p_half[..., :-1] + p_half[..., 1:])
         co2 = (carbon_conc * 1e-6 if carbon_conc is not None else None)
 
+        # input guards exactly as the reference adapter applies before every
+        # RRTMG call (rrtm_radiation.F90:147-149, 855-859): the k-tables are
+        # only valid over a finite (T, q) range, and column physics can hand
+        # radiation slightly-negative humidity or excursion temperatures at
+        # the model top — unguarded, those NaN the correlated-k interpolation
+        t = jnp.clip(t, cfg.temp_lower_limit, cfg.temp_upper_limit)
+        q = jnp.maximum(q, cfg.h2o_lower_limit)
+
         cloud_kw = {}
         lw_cloud_kw = {}
         if cloud_fields is not None:
@@ -190,6 +204,8 @@ class RRTMRadiation:
                 t[..., :1],
                 0.5 * (t[..., 1:] + t[..., :-1]),
                 1.5 * t[..., -1:] - 0.5 * t[..., -2:-1]], axis=-1)
+            t_half = jnp.clip(t_half, cfg.temp_lower_limit,
+                              cfg.temp_upper_limit)
             lw_down_flux, self._lw_stash = self.lw_rrtmg.down_phase(
                 p_half, p_full, t, t_half, q, o3, co2vmr=co2, **lw_cloud_kw)
             surf_lw_down = lw_down_flux[..., -1]

@@ -319,7 +319,13 @@ def gate_giant(days, results, resolution="T42"):
     """
     from isca_tpu.models.giant import giant_planet_model
 
-    model = giant_planet_model(resolution=resolution, num_levels=30)
+    # climate runs keep eddy scales alive: exponential-cutoff wavenumber
+    # scaled from the reference's T213 value (cutoff_wn=100 -> 100*T/213),
+    # NOT the trip test's cutoff_wn=15 (that reduction is for a 3-day
+    # bitwise check; at T42 it would damp most of the jet-forming eddies)
+    trunc = int(str(resolution).lstrip("T"))
+    model = giant_planet_model(resolution=resolution, num_levels=30,
+                               cutoff_wn=max(int(round(100 * trunc / 213)), 8))
     state = model.initial_state()
     spd = int(86400 / model.core.config.dt)
     spin = (days * 3 // 4) * spd
