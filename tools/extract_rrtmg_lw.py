@@ -435,23 +435,32 @@ def make_synthetic_kg(seed=0):
                 tabs[name] = base.reshape(shape)
             elif name in ("kao", "kbo"):
                 # increasing absorption with g rank: spans ~1e-3..1e2
-                grank = np.linspace(-3.0, 2.0, MG)
+                grank = np.linspace(-4.5, 0.1, MG)
                 sh = shape
                 smooth = rng.normal(0, 0.15, sh[:-1])[..., None]
                 jp_ax = len(sh) - 2
                 npz_ = sh[jp_ax]
-                pvar = np.linspace(0.5, -0.5, npz_)
+                # pressure dependence of the absorption coefficient along
+                # the reference-pressure axis. kbo covers the upper
+                # atmosphere (p < ~100 hPa): real line absorption collapses
+                # with pressure broadening there, so decay k steeply with
+                # height — calibrated so clear-sky LW cooling at 1-10 hPa is
+                # a few K/day (not tens), the magnitude AER tables give
+                if name == "kbo":
+                    pvar = np.linspace(0.5, -4.0, npz_)
+                else:
+                    pvar = np.linspace(0.5, -0.5, npz_)
                 pshape = [1] * len(sh)
                 pshape[jp_ax] = npz_
                 tabs[name] = 10.0 ** (grank + smooth + pvar.reshape(pshape))
             elif name in ("selfrefo", "forrefo"):
-                grank = np.linspace(-2.0, 1.0, MG)
+                grank = np.linspace(-3.2, -0.5, MG)
                 tvar = np.linspace(0.3, -0.3, shape[0])[:, None]
                 tabs[name] = 10.0 ** (grank[None, :] + tvar)
             elif name in ("ccl4o", "cfc11adjo", "cfc12o", "cfc22adjo"):
                 tabs[name] = np.full(MG, 10.0 ** rng.uniform(1.0, 2.0))
             else:  # minor gas tables
-                grank = np.linspace(-3.0, 0.0, MG)
+                grank = np.linspace(-4.6, -1.6, MG)
                 lead = np.zeros(shape[:-1])[..., None]
                 tabs[name] = 10.0 ** (grank + lead + rng.normal(0, 0.1))
         red = reduce_band_tables(band, tabs, rwgt)
