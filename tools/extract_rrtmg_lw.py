@@ -460,7 +460,7 @@ def make_synthetic_kg(seed=0):
             elif name in ("ccl4o", "cfc11adjo", "cfc12o", "cfc22adjo"):
                 tabs[name] = np.full(MG, 10.0 ** rng.uniform(1.0, 2.0))
             else:  # minor gas tables
-                grank = np.linspace(-4.6, -1.6, MG)
+                grank = np.linspace(-4.1, -1.1, MG)
                 lead = np.zeros(shape[:-1])[..., None]
                 tabs[name] = 10.0 ** (grank + lead + rng.normal(0, 0.1))
         red = reduce_band_tables(band, tabs, rwgt)
