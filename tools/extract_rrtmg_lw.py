@@ -434,21 +434,36 @@ def make_synthetic_kg(seed=0):
                 base /= base.sum(axis=0, keepdims=True)
                 tabs[name] = base.reshape(shape)
             elif name in ("kao", "kbo"):
-                # increasing absorption with g rank: spans ~1e-3..1e2
-                grank = np.linspace(-4.5, 0.1, MG)
                 sh = shape
                 smooth = rng.normal(0, 0.15, sh[:-1])[..., None]
                 jp_ax = len(sh) - 2
                 npz_ = sh[jp_ax]
-                # pressure dependence of the absorption coefficient along
-                # the reference-pressure axis. kbo covers the upper
-                # atmosphere (p < ~100 hPa): real line absorption collapses
-                # with pressure broadening there, so decay k steeply with
-                # height — calibrated so clear-sky LW cooling at 1-10 hPa is
-                # a few K/day (not tens), the magnitude AER tables give
+                # g-rank span and pressure dependence along the reference-
+                # pressure axis, calibrated against real clear-sky profiles
+                # (docs in tools/README note + tests/test_rrtmg_lw.py golden):
+                # * kao (troposphere): k 1e-4.5..1e0.1, mild pressure decay
+                #   -> MLS OLR ~250 W/m2, tropospheric cooling -1..-3 K/day
+                # * kbo (p < ~100 hPa): a wider span reaching k ~ 1e1.5 so a
+                #   few strong-line g-points stay optically active aloft (the
+                #   CO2 cooling-to-space mechanism); moderate decay with
+                #   height -> -2..-6 K/day at 1-40 hPa and a bounded, stable
+                #   stratopause (LW cooling still grows steeply with T)
                 if name == "kbo":
-                    pvar = np.linspace(0.5, -4.0, npz_)
+                    grank = np.linspace(-4.0, 1.5, MG)
+                    # piecewise: decay into the mid stratosphere, then k
+                    # RISES again toward the lowest pressures — the strong-
+                    # line / CO2 15um cooling-to-space regime that keeps the
+                    # model-top temperature bounded (real atmospheres cool
+                    # -5..-20 K/day there; without this the ozone SW heating
+                    # has no LW opponent above ~0.5 hPa)
+                    k1 = int(0.15 * npz_)
+                    k2 = int(0.55 * npz_)
+                    pvar = np.concatenate([
+                        np.linspace(0.5, -2.0, k1),
+                        np.linspace(-2.0, 1.3, k2 - k1),
+                        np.full(npz_ - k2, 1.3)])
                 else:
+                    grank = np.linspace(-4.5, 0.1, MG)
                     pvar = np.linspace(0.5, -0.5, npz_)
                 pshape = [1] * len(sh)
                 pshape[jp_ax] = npz_
