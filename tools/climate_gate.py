@@ -315,12 +315,23 @@ def gate_giant(days, results, resolution="T42"):
     """Giant planet (Schneider & Liu 2009, JAS): equatorial superrotation and
     multiple alternating off-equator jets.
 
-    The reference case runs T213L40; the gate uses T42 (the same reduction
-    the reference's own trip test applies, trip_test_functions.py:50-55) so
-    a multi-thousand-day spinup fits the budget — jets emerge over many
-    thousands of days from the weak 5-AU forcing (SL09 integrate tens of
-    thousands). Criteria are the robust qualitative targets: a prograde
-    (westerly) equatorial jet and alternating off-equator jets.
+    RESOLUTION CAVEAT (measured, round 3): the SL09 criteria are NOT
+    attainable at T42 — with Jupiter's radius the Rhines jet scale
+    (~2000-6000 km) sits at/below the T42 grid spacing (~3400 km), and the
+    convectively generated equatorial eddies that drive superrotation are
+    unresolved. Two full 30,000-day T42L30 integrations on the chip (one
+    with the trip-test cutoff_wn=15, one with the climate-scaled cutoff=20)
+    both equilibrate to weak midlatitude jets (|u|max ~ 17-20 m/s), NO
+    alternating pattern, and a near-zero time-mean equatorial wind — stably,
+    at 1.44M model-days/day. A T85L30 run reached 9,400 spinup days with the
+    same pre-superrotation state before the session budget cut it off. The
+    reference's own test case integrates 3,600 days at T213L30 — the
+    resolution at which the mechanism actually operates — which at current
+    throughput (~40k md/d at T213) is a ~2h chip run: the round-4 path to
+    an honestly PASSING gate. The criteria below are intentionally kept at
+    SL09 magnitudes; the committed artifact records the honest FAILs at
+    reduced resolution rather than bounds tuned to pass a state that does
+    not superrotate.
     """
     from isca_tpu.models.giant import giant_planet_model
 
