@@ -226,7 +226,18 @@ def gate_mima(days, results, resolution=None):
     """MiMA-style seasonal RRTM aquaplanet (Jucker & Gerber 2017, J. Climate).
 
     Built from the reference MiMA namelist (exp/namelists/mima.nml) with the
-    reference's actual ozone_1990 climatology when available. Annual-mean
+    reference's actual ozone_1990 climatology when available.
+
+    KNOWN ISSUE (round 3): on the axon TPU the 600-day run still ends NaN,
+    while the IDENTICAL f32 configuration on CPU integrates cleanly past
+    every TPU blowup point (11.5+ days probed; the earlier failure modes —
+    unguarded radiation inputs and a runaway synthetic-LW stratopause —
+    were found and fixed this round, each verified on CPU). The remaining
+    divergence is TPU-specific, most likely the ~1e-5-absolute TPU
+    transcendental accuracy amplified somewhere in the L40
+    (scale_heights=11, p_top ~ 2 Pa) ladder; hunting it needs on-chip
+    bisection with state dumps (round-4 item). The committed artifact
+    records the honest NaN criteria rather than hiding the config. Annual-mean
     criteria: a real stratosphere (cold-point tropopause near 100 hPa with
     temperature increasing above it — the structure RRTM+ozone exists to
     produce), subtropical jets, warm moist tropics.

@@ -425,7 +425,15 @@ def make_synthetic_kg(seed=0):
     shapes = kg_shapes()
     rwgt = compute_rwgt()
     out = {}
+    # 8-12 um atmospheric window (bands 6-8, 820-1180 cm-1): water-vapor
+    # line+continuum absorption is 1-2 decades weaker there than in the
+    # rotation/vibration bands. Without this structure every band closes as
+    # humidity rises, OLR hits a ceiling, and a warm moist climate runs away
+    # (measured: MiMA t_surf +13 K/120 days, q -> 40 g/kg). The offset keeps
+    # the window semi-transparent at high q, as the real tables do.
+    WINDOW_OFFSET = {6: -2.0, 7: -2.0, 8: -1.5}
     for band in range(1, 17):
+        woff = WINDOW_OFFSET.get(band, 0.0)
         tabs = {}
         for name, shape in shapes[band].items():
             if name.startswith("fracref"):
@@ -449,7 +457,7 @@ def make_synthetic_kg(seed=0):
                 #   height -> -2..-6 K/day at 1-40 hPa and a bounded, stable
                 #   stratopause (LW cooling still grows steeply with T)
                 if name == "kbo":
-                    grank = np.linspace(-4.0, 1.5, MG)
+                    grank = np.linspace(-4.0, 1.5, MG) + woff
                     # piecewise: decay into the mid stratosphere, then k
                     # RISES again toward the lowest pressures — the strong-
                     # line / CO2 15um cooling-to-space regime that keeps the
@@ -463,13 +471,13 @@ def make_synthetic_kg(seed=0):
                         np.linspace(-2.0, 1.3, k2 - k1),
                         np.full(npz_ - k2, 1.3)])
                 else:
-                    grank = np.linspace(-4.5, 0.1, MG)
+                    grank = np.linspace(-4.5, 0.1, MG) + woff
                     pvar = np.linspace(0.5, -0.5, npz_)
                 pshape = [1] * len(sh)
                 pshape[jp_ax] = npz_
                 tabs[name] = 10.0 ** (grank + smooth + pvar.reshape(pshape))
             elif name in ("selfrefo", "forrefo"):
-                grank = np.linspace(-3.2, -0.5, MG)
+                grank = np.linspace(-3.2, -0.5, MG) + 0.75 * woff
                 tvar = np.linspace(0.3, -0.3, shape[0])[:, None]
                 tabs[name] = 10.0 ** (grank[None, :] + tvar)
             elif name in ("ccl4o", "cfc11adjo", "cfc12o", "cfc22adjo"):
