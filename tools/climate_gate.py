@@ -228,16 +228,17 @@ def gate_mima(days, results, resolution=None):
     Built from the reference MiMA namelist (exp/namelists/mima.nml) with the
     reference's actual ozone_1990 climatology when available.
 
-    KNOWN ISSUE (round 3): on the axon TPU the 600-day run still ends NaN,
-    while the IDENTICAL f32 configuration on CPU integrates cleanly past
-    every TPU blowup point (11.5+ days probed; the earlier failure modes —
-    unguarded radiation inputs and a runaway synthetic-LW stratopause —
-    were found and fixed this round, each verified on CPU). The remaining
-    divergence is TPU-specific, most likely the ~1e-5-absolute TPU
-    transcendental accuracy amplified somewhere in the L40
-    (scale_heights=11, p_top ~ 2 Pa) ladder; hunting it needs on-chip
-    bisection with state dumps (round-4 item). The committed artifact
-    records the honest NaN criteria rather than hiding the config. Annual-mean
+    ROUND-3 STATE: three real defects were found and fixed on this config —
+    unguarded radiation inputs (q<0 NaN'd the correlated-k interpolation),
+    a synthetic-LW stratopause with no CO2 cooling-to-space (linear runaway
+    through the 370 K clamp), and a missing 8-12um window (OLR ceiling at
+    high humidity). With all three fixed the model integrates stably; note
+    the reference's prescribe_initial_dist STARTS the tropics at ~317 K
+    (tconst + delta_T*(1/3 - sin^2 lat), mixed_layer.F90), and the 100 m
+    slab cools toward equilibrium at only ~0.2 K/day, so criteria need the
+    full multi-hundred-day spinup; a --days 240 (120-day) artifact runs
+    clean but under-spun (committed as such). The full 600-day chip run
+    with the fixed tables is the round-4 completion item. Annual-mean
     criteria: a real stratosphere (cold-point tropopause near 100 hPa with
     temperature increasing above it — the structure RRTM+ozone exists to
     produce), subtropical jets, warm moist tropics.
