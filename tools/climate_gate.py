@@ -648,15 +648,19 @@ def merge_artifacts(paths, out):
             c for c in art.get("configs_run", [])
             if c not in merged["configs_run"])
         merged["wall_seconds"] += art.get("wall_seconds", 0.0)
-        merged["runs"].append({
-            "source": os.path.basename(path),
-            "configs": art.get("configs_run", []),
-            "date": art.get("date"),
-            "platform": art.get("platform"),
-            "device_kind": art.get("device_kind"),
-            "days_arg": art.get("days_arg"),
-            "wall_seconds": art.get("wall_seconds"),
-        })
+        if art.get("runs"):
+            # already-merged artifact: carry its per-config provenance through
+            merged["runs"].extend(art["runs"])
+        else:
+            merged["runs"].append({
+                "source": os.path.basename(path),
+                "configs": art.get("configs_run", []),
+                "date": art.get("date"),
+                "platform": art.get("platform"),
+                "device_kind": art.get("device_kind"),
+                "days_arg": art.get("days_arg"),
+                "wall_seconds": art.get("wall_seconds"),
+            })
     merged["passed"] = sum(r["pass"] for r in merged["criteria"].values())
     merged["total"] = len(merged["criteria"])
     merged["date"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
