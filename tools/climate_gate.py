@@ -222,7 +222,7 @@ def gate_frierson(days, results):
           results)
 
 
-def gate_mima(days, results, resolution=None):
+def gate_mima(days, results, resolution=None, cache=None, deadline=None):
     """MiMA-style seasonal RRTM aquaplanet (Jucker & Gerber 2017, J. Climate).
 
     Built from the reference MiMA namelist (exp/namelists/mima.nml) with the
@@ -272,14 +272,17 @@ def gate_mima(days, results, resolution=None):
         print("  ozone: constant fallback (reference input file not found)")
 
     state = model.initial_state()
-    # Cold-start acceleration. The reference IC (prescribe_initial_dist,
+    # Cold-start acceleration (fresh starts only — a chained run resumes its
+    # own trajectory). The reference IC (prescribe_initial_dist,
     # mixed_layer.F90) puts the tropical slab at ~317 K; with a 100 m slab
     # (4.2e8 J/K/m^2) the residual TOA imbalance relaxes it at only
     # ~0.015 K/day, so reaching equilibrium from that IC is an O(1000)-day
     # run (the round-2 240-day artifact was visibly under-spun: tropics
     # 315.5 K). Start the slab at the observed Jucker-Gerber annual-mean
-    # structure instead (tropics ~300 K, poles ~255 K); every gated
-    # statistic is an equilibrium property and does not depend on the IC.
+    # structure instead (tropics ~300 K, poles ~255 K). Slab statistics only
+    # become genuine equilibrium properties once the CHAINED total crosses
+    # the slab relaxation scale; until then the artifact flags
+    # mima_tropical_tsurf as IC-dominated (see below).
     import dataclasses as _dc
     lat1d = jnp.asarray(model.core.T.lats)          # radians, (nlat,)
     ts0 = 300.0 - 45.0 * jnp.sin(lat1d)[:, None] ** 2
@@ -289,6 +292,21 @@ def gate_mima(days, results, resolution=None):
     spd = int(86400 / dt)
     spin = (days // 2) * spd
     avg = (days - days // 2) * spd
+
+    # LW k-table provenance goes into the cache fingerprint: resuming a
+    # trajectory integrated under different radiation tables would splice
+    # incompatible climates.
+    import isca_tpu
+    _kg = np.load(os.path.join(os.path.dirname(isca_tpu.__file__),
+                               "data", "rrtmg_lw_kg.npz"))
+    if int(np.asarray(_kg.get("synthetic", 0))) == 1:
+        lw_tag = f"synthetic_v{int(np.asarray(_kg.get('synthetic_version', 3)))}"
+    else:
+        lw_tag = "aer"
+    fingerprint = {"config": "mima",
+                   "resolution": str(model.core.config.resolution),
+                   "num_levels": int(model.core.config.num_levels),
+                   "dt": float(dt), "lw_tables": lw_tag}
 
     # approximate annual-mean pressure ladder for level selection
     ph = np.asarray(model.core.pk) + np.asarray(model.core.bk) * 1.0e5
@@ -301,11 +319,14 @@ def gate_mima(days, results, resolution=None):
                 "q": st.dyn.tracers["sphum"].curr.mean(axis=-1)}
 
     t0 = time.time()
-    state, zm = zonal_time_mean(model, state, spin, avg, fields)
+    state, zm, total_steps = _chained_spin_and_average(
+        model, state, fields, spin, avg, cache=cache,
+        fingerprint=fingerprint, deadline=deadline)
+    total_days = total_steps / spd
     wall = time.time() - t0
     print(f"MiMA {model.core.config.resolution}L"
-          f"{model.core.config.num_levels}: {days} days in "
-          f"{wall:.0f}s ({days * 86400 / wall:,.0f} model-days/day)")
+          f"{model.core.config.num_levels}: {total_days:.0f} total days "
+          f"(target {days}) in {wall:.0f}s this session")
 
     lats = np.rad2deg(np.asarray(model.core.T.lats))
     u, T, ts, q = zm["u"], zm["t"], zm["ts"], zm["q"]
@@ -337,34 +358,211 @@ def gate_mima(days, results, resolution=None):
            results)
     bcheck("mima_jet_latitude", float(lats[nh][jjet]), 25.0, 55.0,
            f"jet latitude {lats[nh][jjet]:.0f} deg", results)
-    # warm moist tropics (100 m slab + RRTM: ~295-305 K)
+    # warm moist tropics (100 m slab + RRTM: ~295-305 K). The 100 m slab
+    # relaxes at ~0.015 K/day per W/m2 of TOA imbalance, so t_surf only
+    # becomes a model equilibrium property (rather than an echo of the
+    # cold-start IC) once the accumulated integration crosses ~700 days —
+    # shorter runs are flagged IC-dominated in the artifact so the PASS is
+    # not read as model validation (advisor finding, round 3).
+    ic_dominated = total_days < 700
     bcheck("mima_tropical_tsurf", float(ts[trop].mean()), 285.0, 310.0,
-           f"tropical t_surf {ts[trop].mean():.1f} K", results)
+           f"tropical t_surf {ts[trop].mean():.1f} K after "
+           f"{total_days:.0f} accumulated days"
+           + (" [IC-dominated: run too short for slab equilibrium]"
+              if ic_dominated else ""), results)
+    results["mima_tropical_tsurf"]["ic_dominated"] = bool(ic_dominated)
+    results["mima_tropical_tsurf"]["accumulated_days"] = round(total_days, 1)
     bcheck("mima_humidity", float(q[-1].max() * 1e3), 8.0, 30.0,
            f"sfc q max {q[-1].max()*1e3:.1f} g/kg", results)
 
 
-def _save_state_cache(path, state, days_done):
-    """Checkpoint a model-state pytree + integrated-day count to an npz."""
+class WallBudget(Exception):
+    """Raised when --max-wall-seconds is reached. The spinup/averaging state
+    has already been checkpointed; the caller exits 0 so chained sessions end
+    cleanly (mirrors the reference's segmented exp.run(i) restart discipline,
+    extra/python/isca/experiment.py)."""
+
+
+def _save_state_cache(path, state, steps, fingerprint, avg_steps=0,
+                      accum=None):
+    """Checkpoint a model-state pytree + RAW step counters to an npz.
+
+    `steps` is the total number of model steps integrated into `state`
+    (spinup AND averaging — every step the state actually took), never a
+    floor-divided day count: a resumed chain is therefore step-for-step
+    identical to an uninterrupted run, counters included. `avg_steps` is how
+    many of those steps have been accumulated into the float64 time-mean
+    accumulators `accum` (dict name -> np.float64 array, or None before
+    averaging starts). `fingerprint` (config dict) is stored and verified on
+    load so a cache cannot be resumed with a different resolution/levels/dt.
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     leaves = jax.tree_util.tree_leaves(state)
+    # The axon TPU backend cannot device->host copy complex arrays
+    # (UNIMPLEMENTED — measured on-chip, round 4): split complex leaves to a
+    # stacked (2, ...) real/imag float array INSIDE jit, copy floats out.
+    split = jax.jit(lambda ls: [
+        jnp.stack([jnp.real(l), jnp.imag(l)]) if jnp.iscomplexobj(l) else l
+        for l in ls])
+    payload = {f"leaf{i}": np.asarray(l) for i, l in enumerate(split(leaves))}
+    payload["steps"] = np.int64(steps)
+    payload["avg_steps"] = np.int64(avg_steps)
+    payload["nleaves"] = np.int64(len(leaves))
+    payload["fingerprint"] = np.frombuffer(
+        json.dumps(fingerprint, sort_keys=True).encode(), dtype=np.uint8)
+    if accum is not None:
+        for k, v in accum.items():
+            payload[f"acc_{k}"] = np.asarray(v, np.float64)
     tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, days=np.int64(days_done),
-                        **{f"leaf{i}": np.asarray(l)
-                           for i, l in enumerate(leaves)})
+    np.savez_compressed(tmp, **payload)
     os.replace(tmp, path)
 
 
-def _load_state_cache(path, template):
-    """Restore a pytree checkpoint written by _save_state_cache."""
+def _load_state_cache(path, template, fingerprint):
+    """Restore a checkpoint written by _save_state_cache.
+
+    Returns (state, steps, avg_steps, accum-or-None). Raises ValueError with
+    a clear message on a fingerprint or leaf-count mismatch instead of
+    failing deep inside jit with an opaque shape error."""
     data = np.load(path, allow_pickle=False)
+    if "steps" not in data.files:
+        raise ValueError(
+            f"{path}: legacy cache without raw step counters; delete it and "
+            "re-seed (the round-3 format floor-divided days and cannot be "
+            "resumed step-exactly)")
+    saved_fp = json.loads(bytes(data["fingerprint"]).decode())
+    want_fp = json.loads(json.dumps(fingerprint, sort_keys=True))
+    if saved_fp != want_fp:
+        raise ValueError(
+            f"{path}: config fingerprint mismatch — cache was written with "
+            f"{saved_fp}, this run is {want_fp}; refusing to splice "
+            "incompatible trajectories")
     leaves, treedef = jax.tree_util.tree_flatten(template)
-    new = [jnp.asarray(data[f"leaf{i}"]).astype(l.dtype)
-           for i, l in enumerate(leaves)]
-    return (jax.tree_util.tree_unflatten(treedef, new), int(data["days"]))
+    if int(data["nleaves"]) != len(leaves):
+        raise ValueError(
+            f"{path}: cache has {int(data['nleaves'])} state leaves, model "
+            f"expects {len(leaves)}")
+    # Complex leaves were saved as stacked (2, ...) real/imag floats (axon
+    # cannot transfer complex either way); rebuild them on device inside jit.
+    raw = [np.asarray(data[f"leaf{i}"]) for i in range(len(leaves))]
+
+    def rebuild(flats):
+        out = []
+        for f, l in zip(flats, leaves):
+            if jnp.iscomplexobj(l):
+                out.append(jax.lax.complex(f[0], f[1]).astype(l.dtype))
+            else:
+                out.append(f.astype(l.dtype))
+        return jax.tree_util.tree_unflatten(treedef, out)
+
+    state = jax.jit(rebuild)(raw)
+    accum = {k[4:]: np.asarray(data[k], np.float64)
+             for k in data.files if k.startswith("acc_")}
+    return state, int(data["steps"]), int(data["avg_steps"]), (accum or None)
 
 
-def gate_giant(days, results, resolution="T42", cache=None):
+def _chained_spin_and_average(model, state, accum_fields, spin_steps,
+                              avg_steps_target, cache=None, fingerprint=None,
+                              deadline=None, progress=None):
+    """Spinup + time-averaging with kill-safe cross-session chaining.
+
+    Integrates `spin_steps` of spinup then `avg_steps_target` of averaging in
+    CH-step jit chunks. If `cache` is given, the state AND the float64
+    averaging accumulators checkpoint atomically every ~5 minutes and at
+    every phase boundary, so a killed session loses at most that much and a
+    resumed chain reproduces an uninterrupted run step-for-step (counters are
+    raw steps, never floor-divided days). If `deadline` (epoch seconds)
+    passes, checkpoints and raises WallBudget for a clean exit.
+
+    Accumulators live on the host in float64 between chunks (on-device f32
+    within a chunk), so a multi-thousand-day mean does not lose precision to
+    f32 accumulation. Returns (state, time-mean dict, total_steps).
+    """
+    CH = 256
+    run_chunk = jax.jit(lambda s: model.run(s, CH, first=False))
+    steps, avg_done, accum = 0, 0, None
+    if cache and os.path.exists(cache):
+        state, steps, avg_done, accum = _load_state_cache(
+            cache, state, fingerprint)
+        print(f"  resumed from {cache}: {steps} steps integrated "
+              f"({avg_done} averaged)", flush=True)
+    t0 = time.time()
+    last_save = [t0]
+
+    def save_cache():
+        nonlocal state
+        state = jax.block_until_ready(state)
+        _save_state_cache(cache, state, steps, fingerprint, avg_done, accum)
+        last_save[0] = time.time()
+
+    def checkpoint_maybe(phase):
+        if cache and time.time() - last_save[0] > 300:
+            save_cache()
+            print(f"  checkpoint [{phase}] step {steps} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+            if progress:
+                progress(state, steps, phase)
+        if deadline and time.time() > deadline:
+            if cache:
+                save_cache()
+            raise WallBudget(
+                f"wall budget reached at step {steps} ({phase}); "
+                + (f"state checkpointed to {cache}" if cache
+                   else "no cache configured — progress lost"))
+
+    if steps == 0 and spin_steps > 0:
+        run_first = jax.jit(lambda s: model.run(s, CH, first=True))
+        state = run_first(state)
+        steps = CH
+        state = jax.block_until_ready(state)
+        print(f"  first chunk (incl. compile): {time.time() - t0:.0f}s",
+              flush=True)
+        checkpoint_maybe("spinup")
+    while steps < spin_steps:
+        state = run_chunk(state)
+        steps += CH
+        checkpoint_maybe("spinup")
+    if avg_done == 0:
+        state = jax.block_until_ready(state)
+        print(f"  spinup complete at step {steps} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+        if cache:
+            save_cache()
+
+    def avg_chunk(st):
+        zero = jax.tree_util.tree_map(
+            lambda x: jnp.zeros(x.shape, x.dtype), accum_fields(st))
+
+        def body(c, _):
+            s2, acc = c
+            s2 = model.step(s2, first=False)
+            acc = jax.tree_util.tree_map(
+                lambda a, f: a + f, acc, accum_fields(s2))
+            return (s2, acc), None
+
+        return jax.lax.scan(body, (st, zero), None, length=CH)[0]
+
+    cj = jax.jit(avg_chunk)
+    if accum is None:
+        shapes = jax.eval_shape(accum_fields, state)
+        accum = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, np.float64), shapes)
+    while avg_done < avg_steps_target:
+        state, cacc = jax.block_until_ready(cj(state))
+        accum = jax.tree_util.tree_map(
+            lambda h, d: h + np.asarray(d, np.float64), accum, cacc)
+        steps += CH
+        avg_done += CH
+        checkpoint_maybe("averaging")
+    if cache:
+        save_cache()
+    print(f"  averaged {avg_done} steps ({time.time() - t0:.0f}s)",
+          flush=True)
+    zm = jax.tree_util.tree_map(lambda a: a / max(avg_done, 1), accum)
+    return state, zm, steps
+
+
+def gate_giant(days, results, resolution="T42", cache=None, deadline=None):
     """Giant planet (Schneider & Liu 2009, JAS): equatorial superrotation and
     multiple alternating off-equator jets.
 
@@ -393,69 +591,40 @@ def gate_giant(days, results, resolution="T42", cache=None):
     # NOT the trip test's cutoff_wn=15 (that reduction is for a 3-day
     # bitwise check; at T42 it would damp most of the jet-forming eddies)
     trunc = int(str(resolution).lstrip("T"))
+    cutoff = max(int(round(100 * trunc / 213)), 8)
     model = giant_planet_model(resolution=resolution, num_levels=30,
-                               cutoff_wn=max(int(round(100 * trunc / 213)), 8))
+                               cutoff_wn=cutoff)
     state = model.initial_state()
     spd = int(86400 / model.core.config.dt)
     spin = (days * 3 // 4) * spd
     avg = (days - days * 3 // 4) * spd
-
-    # Optional cross-run checkpointing: the SL09 mechanism needs T213-scale
-    # resolution and thousands of spinup days — more than one session's chip
-    # budget — so the spinup chains through an (untracked) state cache.
-    days_done = 0
-    if cache and os.path.exists(cache):
-        state, days_done = _load_state_cache(cache, state)
-        print(f"  resumed {resolution} spinup from {cache}: "
-              f"{days_done} days already integrated", flush=True)
+    fingerprint = {"config": "giant", "resolution": str(resolution),
+                   "num_levels": 30, "cutoff_wn": cutoff,
+                   "dt": float(model.core.config.dt)}
 
     def fields(st):
         return {"u": st.dyn.ug.curr.mean(axis=-1),
                 "t": st.dyn.tg.curr.mean(axis=-1)}
 
-    # spin up in quarters, logging the equatorial jet so the artifact's
-    # provenance shows the spinup trajectory (not just the end state)
-    t0 = time.time()
+    # progress logging: the artifact's provenance shows the spinup trajectory
+    # of the equatorial jet, not just the end state
     lats_ = np.rad2deg(np.asarray(model.core.T.lats))
     eq_ = np.abs(lats_) < 8
-    CH = 256
-    run_chunk = jax.jit(lambda s: model.run(s, CH, first=False))
-    done = days_done * spd
-    if done == 0:
-        run_first = jax.jit(lambda s: model.run(s, CH, first=True))
-        state = run_first(state)
-        done = CH
-    last_save = time.time()
-    for q in range(4):
-        target = spin * (q + 1) // 4
-        if done >= target:
-            continue
-        while done + CH <= target:
-            state = run_chunk(state)
-            done += CH
-            # kill-safe progress: checkpoint every ~5 min of wall clock so a
-            # session ending mid-quarter loses at most that much integration
-            if cache and time.time() - last_save > 300:
-                state = jax.block_until_ready(state)
-                _save_state_cache(cache, state, done // spd)
-                last_save = time.time()
-                print(f"  checkpoint at day {done // spd} "
-                      f"({time.time() - t0:.0f}s)", flush=True)
-        state = jax.block_until_ready(state)
-        u_eq = float(np.asarray(
-            state.dyn.ug.curr[:10].mean(axis=-1))[:, eq_].mean())
-        print(f"  spinup day {done // spd}: upper equatorial u = "
-              f"{u_eq:+.1f} m/s ({time.time() - t0:.0f}s)", flush=True)
-        if cache:
-            _save_state_cache(cache, state, done // spd)
-            last_save = time.time()
 
-    state, zm = zonal_time_mean(model, state, 0, avg, fields)
-    if cache:
-        _save_state_cache(cache, state, done // spd + avg // spd)
+    def progress(st, steps, phase):
+        u_eq = float(np.asarray(
+            st.dyn.ug.curr[:10].mean(axis=-1))[:, eq_].mean())
+        print(f"  [{phase}] day {steps / spd:.1f}: upper equatorial u = "
+              f"{u_eq:+.1f} m/s", flush=True)
+
+    t0 = time.time()
+    state, zm, total_steps = _chained_spin_and_average(
+        model, state, fields, spin, avg, cache=cache,
+        fingerprint=fingerprint, deadline=deadline, progress=progress)
     wall = time.time() - t0
-    print(f"Giant planet {resolution}L30: {days} days in {wall:.0f}s "
-          f"({days * 86400 / wall:,.0f} model-days/day)")
+    this_days = days  # target; total_steps/spd is the chained total
+    print(f"Giant planet {resolution}L30: {total_steps / spd:.0f} total days "
+          f"(target {this_days}) in {wall:.0f}s this session")
 
     lats = np.rad2deg(np.asarray(model.core.T.lats))
     u = zm["u"]
@@ -701,9 +870,16 @@ def main():
                         "spinup across sessions (e.g. "
                         ".gate_cache/giant_T213.npz); resumed if present, "
                         "checkpointed each spinup quarter")
+    p.add_argument("--mima-cache", default="",
+                   help="state-cache npz for chaining the MiMA spinup across "
+                        "sessions (e.g. .gate_cache/mima_T42.npz)")
     p.add_argument("--precision", default="highest",
                    help="Held-Suarez transform_precision (gate 'high' before "
                         "promoting it to the bench configuration)")
+    p.add_argument("--max-wall-seconds", type=float, default=0.0,
+                   help="clean-stop budget: chained gates checkpoint and the "
+                        "process exits 0 when this much wall clock has "
+                        "elapsed (0 = no budget)")
     p.add_argument("--merge", nargs="+", metavar="JSON",
                    help="merge per-config artifacts into --json and exit")
     args = p.parse_args()
@@ -715,6 +891,7 @@ def main():
     wanted = args.only.split(",") if args.only else ["hs", "frierson", "mima",
                                                      "giant", "realistic"]
     t0 = time.time()
+    deadline = (t0 + args.max_wall_seconds) if args.max_wall_seconds else None
     # mima (the largest RRTMG compile) runs LAST: with incremental artifact
     # writes, a tunnel/compile hang there cannot void the other configs
     gates = [
@@ -724,10 +901,13 @@ def main():
         ("frierson", lambda: gate_frierson(max(args.days // 2, 100), results)),
         ("giant", lambda: gate_giant(max(args.days * 6, 3000), results,
                                      resolution=args.giant_resolution,
-                                     cache=args.giant_cache or None)),
+                                     cache=args.giant_cache or None,
+                                     deadline=deadline)),
         ("realistic", lambda: gate_realistic(max(args.days // 2, 300),
                                              results)),
-        ("mima", lambda: gate_mima(max(args.days // 2, 100), results)),
+        ("mima", lambda: gate_mima(max(args.days // 2, 100), results,
+                                   cache=args.mima_cache or None,
+                                   deadline=deadline)),
     ]
     dev = jax.devices()[0]
     done = []
@@ -748,11 +928,18 @@ def main():
         with open(args.json, "w") as f:
             json.dump(artifact, f, indent=1)
 
+    wall_stopped = False
     for name, fn in gates:
         if name not in wanted:
             continue
         try:
             fn()
+        except WallBudget as e:
+            # clean stop: state is checkpointed; no FAIL recorded for an
+            # intentionally segmented run, and no further gates started
+            print(f"[wall budget] {e}", flush=True)
+            wall_stopped = True
+            break
         except Exception as e:  # one crashed config must not void the artifact
             import traceback
             traceback.print_exc()
@@ -763,7 +950,10 @@ def main():
             print(f"wrote {args.json} ({', '.join(done)})")
 
     npass = sum(r["pass"] for r in results.values())
-    print(f"\n{npass}/{len(results)} criteria passed")
+    print(f"\n{npass}/{len(results)} criteria passed"
+          + (" (wall budget stop — chain incomplete)" if wall_stopped else ""))
+    if wall_stopped:
+        return 0
     return 0 if npass == len(results) else 1
 
 
