@@ -338,3 +338,40 @@ if __name__ == "__main__":
         with open(GOLDEN_PATH, "w") as fh:
             json.dump(_mls_fluxes(), fh)
         print(f"wrote {GOLDEN_PATH}")
+
+
+def test_synthetic_v4_stratospheric_calibration(kg):
+    """Pins the v4 calibration physics (tools/calibrate_lw.py, round 4).
+
+    On a prescribed JG17-like tropical column the synthetic tables must
+    reproduce the climate-relevant clear-sky LW structure: the 30-100 hPa
+    layer a weak net absorber of upwelling flux (CO2 15um + O3 9.6um beat
+    the weak H2O/N2 emission — v3 violated this at -1.1 K/day and froze the
+    MiMA cold point at 156 K), normal tropospheric cooling, and strong
+    cooling-to-space in the middle/upper stratosphere."""
+    assert int(np.asarray(kg["synthetic_version"])) >= 4
+    p_half = np.logspace(np.log10(0.02), np.log10(1013.0), 61) * 100.0
+    p_full = np.sqrt(p_half[:-1] * p_half[1:])
+    p_hpa = p_full / 100.0
+    T = np.interp(np.log(p_hpa),
+                  np.log([0.02, 1.0, 10.0, 50.0, 90.0, 300.0, 1013.0]),
+                  [220.0, 265.0, 230.0, 205.0, 197.0, 245.0, 300.0])
+    th = np.interp(np.log(p_half / 100.0), np.log(p_hpa), T)
+    th[-1] = 300.0
+    es = 610.78 * np.exp(17.27 * (T - 273.15) / (T - 35.85))
+    q = np.clip(0.75 * 0.622 * es / np.maximum(p_full - es, 1.0), 3e-6, 0.03)
+    q[p_full < 300e2] = 3e-6
+    x = np.log(p_hpa / 10.0)
+    o3 = (9.0e-6 * np.exp(-0.5 * (x / 1.25) ** 2) + 5.0e-8) * 47.9982 / 28.964
+    lw = RRTMGLw(RRTMGLwConfig(co2vmr=300e-6), kg=kg)
+    f = lw(jnp.asarray(p_half), jnp.asarray(p_full), jnp.asarray(T),
+           jnp.asarray(th), jnp.asarray(300.0), jnp.asarray(q),
+           jnp.asarray(o3))
+    hr = np.asarray(f.hr) * 86400.0
+    ls = hr[(p_hpa > 30) & (p_hpa < 100)].mean()
+    assert -0.15 <= ls <= 1.5, f"lower-strat LW {ls:+.2f} K/day"
+    tr = hr[p_hpa > 400].mean()
+    assert -3.0 <= tr <= -1.0, f"tropospheric LW {tr:+.2f} K/day"
+    ms = hr[(p_hpa > 1) & (p_hpa < 10)].mean()
+    assert ms <= -1.0, f"mid-strat cooling-to-space {ms:+.2f} K/day"
+    assert 270.0 <= float(np.asarray(f.olr)) <= 305.0

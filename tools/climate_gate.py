@@ -242,14 +242,16 @@ def gate_mima(days, results, resolution=None, cache=None, deadline=None):
     increasing above it — the structure RRTM+ozone exists to produce),
     subtropical jets, warm moist tropics.
 
-    MEASURED (360-day chip run, 2026-08-21): 6/7 criteria pass — tropics
-    300.1 K, q_max 16 g/kg, NH jet 46.7 m/s at 29 deg, cold point at
-    35 hPa with a 70 K inversion above it. The one FAIL is the cold-point
-    temperature (156 K vs 180-210 K): the synthetic LW k-tables absorb too
-    little upwelling flux in the lower stratosphere, so the radiative
-    equilibrium between tropospheric emission and the ozone heating above
-    sits too cold. That is a k-table fidelity limit (real AER data would
-    close it), not a dynamics or ozone-path defect.
+    MEASURED (360-day chip run, 2026-08-21, synthetic-LW v3): 6/7 criteria
+    passed — but the cold point froze at 156 K (vs 180-210 K) at 35 hPa.
+    ROUND 4: single-column term isolation (tools/calibrate_lw.py) traced the
+    failure to the v3 tables' stratospheric N2 continuum (-1.23 K/day of
+    spurious emission at 30-100 hPa) and a missing O3 9.6um window heater;
+    the v4 tables are calibrated against JG17/observed targets (RCE cold
+    point 195 K at 106 hPa, stratopause 256 K). The gate bounds below are
+    correspondingly TIGHTENED to literature magnitudes: cold-point pressure
+    50-160 hPa (was 30-200, which let a 35 hPa cold point pass), inversion
+    upper bound 120 K (was 200).
     """
     from tools.from_namelist import model_from_namelist, parse_namelist
 
@@ -339,16 +341,12 @@ def gate_mima(days, results, resolution=None, cache=None, deadline=None):
     bcheck("mima_coldpoint_temp", float(Ttrop[kcp]), 180.0, 210.0,
            f"tropical cold point {Ttrop[kcp]:.0f} K at {p_full[kcp]/100:.0f} hPa",
            results)
-    bcheck("mima_coldpoint_pressure", float(p_full[kcp] / 100.0), 30.0, 200.0,
+    bcheck("mima_coldpoint_pressure", float(p_full[kcp] / 100.0), 50.0, 160.0,
            f"cold point at {p_full[kcp]/100:.0f} hPa (obs ~100)", results)
-    # stratosphere: temperature increases above the cold point (ozone heating)
+    # stratosphere: temperature increases above the cold point (ozone
+    # heating); JG17's observed inversion is ~60-70 K to the stratopause
     strat_warming = float(T[: max(kcp, 1), trop].mean(axis=1).max() - Ttrop[kcp])
-    # upper bound 200 K (not Jucker-Gerber's observed ~60-70): the labeled-
-    # SYNTHETIC LW k-tables under-cool the upper stratosphere, so ozone SW
-    # heating equilibrates the stratopause warm; the criterion asserts the
-    # inversion exists and is not a >200 K runaway. AER's rrtmg_lw.nc
-    # restores the literature magnitude.
-    bcheck("mima_stratospheric_inversion", strat_warming, 2.0, 200.0,
+    bcheck("mima_stratospheric_inversion", strat_warming, 2.0, 120.0,
            f"T rises {strat_warming:.0f} K above cold point", results)
     # subtropical jet
     nh = lats > 0

@@ -414,12 +414,27 @@ def convert_nc(nc_path):
     return out
 
 
-def make_synthetic_kg(seed=0):
+def make_synthetic_kg(seed=0, version=4):
     """Shape-correct, physically-plausible k-tables for tests (NOT AER data).
 
     Absorption coefficients decay smoothly with g-point rank and vary
     smoothly with (T, p, species parameter); Planck fractions are a smooth
     normalized partition of each band.
+
+    `version` selects the calibration vintage (stored as synthetic_version):
+      v3 (round 3): window bands + cooling-to-space aloft; measured defect:
+         kbo decays 2.5 decades between 95 and 28 hPa, so the lower
+         stratosphere under-absorbs upwelling tropospheric flux — MiMA's
+         tropical cold point froze at 156 K at 35 hPa (CLIMATE_GATE r3) and
+         the single-column RCE harness reproduces it offline (cold point
+         43 hPa, lower-strat LW -1.1 K/day; tools/calibrate_lw.py).
+      v4 (round 4): gentler kbo pressure decay through the lower/mid
+         stratosphere (0.5 -> -0.3 over 95 -> ~9 hPa) so the 30-100 hPa
+         layer stays a weak net absorber under a warm troposphere — the
+         physical role of the CO2 15um + O3 9.6um bands there. Calibrated
+         against tools/calibrate_lw.py targets (JG17 cold point ~190-205 K
+         near 100 hPa, stratopause 260-280 K, OLR ~285, tropospheric
+         cooling ~ -2 K/day).
     """
     rng = np.random.default_rng(seed)
     shapes = kg_shapes()
@@ -457,19 +472,60 @@ def make_synthetic_kg(seed=0):
                 #   height -> -2..-6 K/day at 1-40 hPa and a bounded, stable
                 #   stratopause (LW cooling still grows steeply with T)
                 if name == "kbo":
-                    grank = np.linspace(-4.0, 1.5, MG) + woff
-                    # piecewise: decay into the mid stratosphere, then k
-                    # RISES again toward the lowest pressures — the strong-
-                    # line / CO2 15um cooling-to-space regime that keeps the
-                    # model-top temperature bounded (real atmospheres cool
-                    # -5..-20 K/day there; without this the ozone SW heating
-                    # has no LW opponent above ~0.5 hPa)
+                    # v4: NO window offset for the upper-atmosphere tables
+                    # of bands 7-8 — in the real RRTMG those bands' upper
+                    # key species is O3 (rrtmg_lw taumol07/08, nspb=1, O3
+                    # major): the 9.6um ozone band absorbs the warm surface
+                    # flux arriving through the semi-transparent window and
+                    # is THE longwave heater of the cold tropical lower
+                    # stratosphere. v3 weakened these kbo by the window
+                    # offset too, so nothing opposed cooling at 30-100 hPa
+                    # (measured: -1.1 K/day there, cold point 43 hPa in the
+                    # RCE harness; 156 K at 35 hPa in the MiMA gate).
+                    woff_b = 0.0 if (version >= 4 and band in (7, 8)) else woff
+                    grank = np.linspace(-4.0, 1.5, MG) + woff_b
+                    # piecewise in pressure: the strong-line / CO2 15um
+                    # cooling-to-space regime toward the lowest pressures
+                    # keeps the model-top temperature bounded (real
+                    # atmospheres cool -5..-20 K/day there; without it the
+                    # ozone SW heating has no LW opponent above ~0.5 hPa)
                     k1 = int(0.15 * npz_)
                     k2 = int(0.55 * npz_)
-                    pvar = np.concatenate([
-                        np.linspace(0.5, -2.0, k1),
-                        np.linspace(-2.0, 1.3, k2 - k1),
-                        np.full(npz_ - k2, 1.3)])
+                    # v4: the cooling-to-space burden above ~10 hPa moves
+                    # from the (physically wrong, removed) N2 continuum to
+                    # the CO2 15um bands, where it belongs: their dip is
+                    # shallow (CO2 absorption never vanishes), full band
+                    # strength arrives by ~5 hPa (k2 = 15 reference-pressure
+                    # indices above the 95.6 hPa boundary), and the plateau
+                    # rises a decade (real band-center k is 1e3-1e4 cm2/g).
+                    co2band = version >= 4 and band in (3, 4, 5)
+                    plateau = 2.15 if co2band else 1.3
+                    if version >= 4 and band in (1, 2):
+                        # v4: the H2O rotation/continuum bands must go
+                        # optically quiet IMMEDIATELY above the 95.6 hPa
+                        # lower/upper boundary — v3 held them at 10^0.5
+                        # down to ~30 hPa, and the resulting rotation-band
+                        # emission cooled 30-100 hPa at -1.26 K/day (band
+                        # decomposition, tools/calibrate_lw.py), freezing
+                        # the MiMA cold point at 156 K / 35 hPa. Published
+                        # decompositions put net lower-strat LW near zero:
+                        # weak H2O cooling offset by CO2 15um + O3 9.6um
+                        # heating (bands 3-5, 7-8).
+                        pvar = np.concatenate([
+                            np.linspace(-0.5, -2.5, k1),
+                            np.linspace(-2.5, plateau, k2 - k1),
+                            np.full(npz_ - k2, plateau)])
+                    elif co2band:
+                        k2 = int(0.38 * npz_)
+                        pvar = np.concatenate([
+                            np.linspace(0.5, -1.0, k1),
+                            np.linspace(-1.0, plateau, k2 - k1),
+                            np.full(npz_ - k2, plateau)])
+                    else:
+                        pvar = np.concatenate([
+                            np.linspace(0.5, -2.0, k1),
+                            np.linspace(-2.0, plateau, k2 - k1),
+                            np.full(npz_ - k2, plateau)])
                 else:
                     grank = np.linspace(-4.5, 0.1, MG) + woff
                     pvar = np.linspace(0.5, -0.5, npz_)
@@ -484,12 +540,22 @@ def make_synthetic_kg(seed=0):
                 tabs[name] = np.full(MG, 10.0 ** rng.uniform(1.0, 2.0))
             else:  # minor gas tables
                 grank = np.linspace(-4.1, -1.1, MG)
+                if version >= 4 and name == "kbo_mn2":
+                    # v4: N2 collision-induced far-IR absorption is a
+                    # DENSITY-squared continuum — real kb_mn2 is ~negligible
+                    # above the 95.6 hPa boundary. v3 gave the upper table
+                    # tropospheric strength, and that single term emitted
+                    # -1.23 K/day at 30-100 hPa (term isolation,
+                    # tools/calibrate_lw.py), overwhelming the CO2/O3
+                    # heating and freezing the MiMA cold point at 156 K.
+                    grank = grank - 2.0
                 lead = np.zeros(shape[:-1])[..., None]
                 tabs[name] = 10.0 ** (grank + lead + rng.normal(0, 0.1))
         red = reduce_band_tables(band, tabs, rwgt)
         for k, v in red.items():
             out[f"b{band}_{k}"] = v
     out["synthetic"] = np.array(1)
+    out["synthetic_version"] = np.array(version)
     return out
 
 
@@ -499,14 +565,23 @@ def main(argv):
     np.savez_compressed(OUT_STATIC, **static)
     print(f"wrote {OUT_STATIC} ({len(static)} arrays, "
           f"{OUT_STATIC.stat().st_size/1e6:.2f} MB)")
-    if len(argv) > 1:
+    if len(argv) > 1 and argv[1] == "--synthetic":
+        # regenerate the labeled synthetic tables (calibrated against
+        # tools/calibrate_lw.py; remember to refresh the frozen golden:
+        # python tests/test_rrtmg_lw.py --update)
+        kg = make_synthetic_kg()
+        np.savez_compressed(OUT_KG, **kg)
+        print(f"wrote {OUT_KG} SYNTHETIC v{int(kg['synthetic_version'])} "
+              f"({len(kg)} arrays, {OUT_KG.stat().st_size/1e6:.2f} MB)")
+    elif len(argv) > 1:
         kg = convert_nc(argv[1])
         np.savez_compressed(OUT_KG, **kg)
         print(f"wrote {OUT_KG} ({len(kg)} arrays, "
               f"{OUT_KG.stat().st_size/1e6:.2f} MB) from {argv[1]}")
     else:
         print("no rrtmg_lw.nc supplied; run with the AER data file to build "
-              "isca_tpu/data/rrtmg_lw_kg.npz (tests use synthetic tables)")
+              "isca_tpu/data/rrtmg_lw_kg.npz, or --synthetic to regenerate "
+              "the calibrated synthetic tables (tests use synthetic tables)")
     return 0
 
 
