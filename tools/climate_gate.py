@@ -508,6 +508,17 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
                 + (f"state checkpointed to {cache}" if cache
                    else "no cache configured — progress lost"))
 
+    last_rate = [time.time(), steps]
+
+    def log_rate(phase):
+        now = time.time()
+        dsteps = steps - last_rate[1]
+        if dsteps > 0 and now > last_rate[0]:
+            print(f"  [{phase}] step {steps}: "
+                  f"{dsteps / (now - last_rate[0]):.1f} steps/s "
+                  f"({now - t0:.0f}s)", flush=True)
+        last_rate[0], last_rate[1] = now, steps
+
     if steps == 0 and spin_steps > 0:
         run_first = jax.jit(lambda s: model.run(s, CH, first=True))
         state = run_first(state)
@@ -515,10 +526,21 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
         state = jax.block_until_ready(state)
         print(f"  first chunk (incl. compile): {time.time() - t0:.0f}s",
               flush=True)
+        last_rate = [time.time(), steps]
         checkpoint_maybe("spinup")
     while steps < spin_steps:
         state = run_chunk(state)
         steps += CH
+        # sync each chunk: JAX dispatch is asynchronous, and without this
+        # the Python loop races arbitrarily far ahead of the device — the
+        # steps counter, the 5-minute checkpoint clock, and the wall-budget
+        # deadline all become meaningless, and the "periodic" save blocks
+        # on the ENTIRE dispatched queue (measured on the first T213 chip
+        # run: 22 min of silence, nothing banked). One tunnel round-trip
+        # per 256-step chunk is noise next to the chunk's compute.
+        state = jax.block_until_ready(state)
+        if time.time() - last_rate[0] > 120:
+            log_rate("spinup")
         checkpoint_maybe("spinup")
     if avg_done == 0:
         state = jax.block_until_ready(state)
@@ -551,6 +573,8 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
             lambda h, d: h + np.asarray(d, np.float64), accum, cacc)
         steps += CH
         avg_done += CH
+        if time.time() - last_rate[0] > 120:
+            log_rate("averaging")
         checkpoint_maybe("averaging")
     if cache:
         save_cache()
