@@ -375,3 +375,82 @@ def test_synthetic_v4_stratospheric_calibration(kg):
     ms = hr[(p_hpa > 1) & (p_hpa < 10)].mean()
     assert ms <= -1.0, f"mid-strat cooling-to-space {ms:+.2f} K/day"
     assert 270.0 <= float(np.asarray(f.olr)) <= 305.0
+
+
+def test_convert_nc_fixture(tmp_path):
+    """convert_nc() ingests a fabricated mini rrtmg_lw.nc with the
+    rrtmg_lw_read_nc.f90 variable layout, so the first contact with AER's
+    real data file is not untested code (VERDICT r3 missing #3).
+
+    The fixture fills every variable with its band index, which makes the
+    cmbgb reduction hand-checkable: a weighted segment-sum of a constant c
+    returns c (the rwgt weights of each reduced segment sum to 1,
+    rrtmg_lw_init.f90:102-130), and the unweighted Planck-fraction
+    reduction returns c * (segment length)."""
+    from scipy.io import netcdf_file
+    from extract_rrtmg_lw import NGC, NGN, convert_nc, make_synthetic_kg
+
+    # C-order shapes = reversed Fortran dims of rrtmg_lw_read_nc.f90
+    layout = {
+        "PlanckFractionLowerAtmos": (1, 16, 9, 16),
+        "PlanckFractionUpperAtmos": (1, 16, 5, 16),
+        "KeySpeciesAbsorptionCoefficientsLowerAtmos": (1, 16, 16, 13, 5, 9),
+        "KeySpeciesAbsorptionCoefficientsUpperAtmos": (1, 16, 16, 47, 5, 5),
+        "H20SelfAbsorptionCoefficients": (1, 16, 16, 10),
+        "H20ForeignAbsorptionCoefficients": (1, 16, 16, 4),
+        "AbsorptionCoefficientsLowerAtmos": (1, 16, 12, 16, 19, 9),
+        "AbsorptionCoefficientsUpperAtmos": (1, 16, 12, 16, 19, 9),
+    }
+    path = tmp_path / "rrtmg_lw_mini.nc"
+    nc = netcdf_file(str(path), "w")
+    for name, shape in layout.items():
+        dims = []
+        for i, n in enumerate(shape):
+            dn = f"{name}_d{i}"
+            nc.createDimension(dn, n)
+            dims.append(dn)
+        v = nc.createVariable(name, "d", tuple(dims))
+        # the band index is always Fortran's second-to-last dimension in
+        # rrtmg_lw_read_nc.f90's get_var calls, i.e. C axis 1 here
+        idx = np.arange(1, 17, dtype=np.float64)
+        bshape = [1] * len(shape)
+        bshape[1] = 16
+        v[:] = np.broadcast_to(idx.reshape(bshape), shape)
+    nc.close()
+
+    out = convert_nc(path)
+
+    # same key set and reduced shapes as the synthetic generator (which is
+    # already validated against the rrlw_kg module declarations)
+    synth = make_synthetic_kg()
+    synth_keys = {k for k in synth if k.startswith("b")}
+    assert {k for k in out} == synth_keys
+    for k in synth_keys:
+        assert out[k].shape == synth[k].shape, k
+
+    for b in range(1, 17):
+        seg = NGN[sum(NGC[:b - 1]):sum(NGC[:b - 1]) + NGC[b - 1]]
+        # weighted tables: constant band index survives the reduction
+        for name in ("absa", "selfref", "forref"):
+            key = f"b{b}_{name}"
+            if key in out:
+                np.testing.assert_allclose(out[key], float(b), rtol=1e-12,
+                                           err_msg=key)
+        # unweighted Planck fractions: band index * segment length
+        fr = out[f"b{b}_fracrefa"]
+        gax = 0
+        want = float(b) * np.asarray(seg, np.float64)
+        got = np.moveaxis(fr, gax, 0).reshape(fr.shape[gax], -1)[:, 0]
+        np.testing.assert_allclose(got, want, rtol=1e-12,
+                                   err_msg=f"b{b}_fracrefa")
+
+    # the converted dict round-trips into the flux driver: real-data mode,
+    # no synthetic label, finite physical fluxes
+    assert "synthetic" not in out
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # no synthetic warning
+        lw = RRTMGLw(RRTMGLwConfig(), kg={k: v for k, v in out.items()})
+    f = lw(*mls_profile())
+    assert np.all(np.isfinite(np.asarray(f.uflx)))
+    assert np.all(np.asarray(f.olr) > 0)
