@@ -412,7 +412,9 @@ def _save_state_cache(path, state, steps, fingerprint, avg_steps=0,
         for k, v in accum.items():
             payload[f"acc_{k}"] = np.asarray(v, np.float64)
     tmp = path + ".tmp.npz"
-    np.savez_compressed(tmp, **payload)
+    # uncompressed: a T213L30 state is ~0.4 GB and zlib costs ~20-40 s per
+    # save — measured ~8% of chip wall clock at the 5-minute cadence
+    np.savez(tmp, **payload)
     os.replace(tmp, path)
 
 
@@ -494,7 +496,7 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
         last_save[0] = time.time()
 
     def checkpoint_maybe(phase):
-        if cache and time.time() - last_save[0] > 300:
+        if cache and time.time() - last_save[0] > 600:
             save_cache()
             print(f"  checkpoint [{phase}] step {steps} "
                   f"({time.time() - t0:.0f}s)", flush=True)
@@ -677,7 +679,7 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None):
 
 
 def gate_realistic(days, results, resolution="T42", levels=None,
-                   orbit_days_override=None):
+                   orbit_days_override=None, radiation="rrtm"):
     """Realistic continents with a seasonal cycle (the reference
     exp/test_cases/realistic_continents capability: continental outlines +
     Sauliere 2012 topography + bucket hydrology + seasonal insolation +
@@ -685,8 +687,11 @@ def gate_realistic(days, results, resolution="T42", levels=None,
     namelist_basefile.nml:55-59: 20 m slab with land_option='input' and
     land_h_capacity_prefactor=0.1 (NOT land_depth, which mixed_layer.F90:554
     ignores under 'input'), land_albedo_prefactor=1.3 on a 0.25 ocean
-    albedo. Radiation here is grey two-stream (the reference case uses RRTM;
-    the continentality criteria below do not depend on that choice).
+    albedo. Radiation defaults to RRTM with seasonal insolation and the
+    reference's ozone_1990 climatology — the configuration the reference
+    case actually runs (namelist_basefile.nml rrtm_radiation_nml) — with
+    an OLR criterion gated on top of the continentality ones;
+    radiation="grey" keeps the round-3 two-stream variant.
 
     Criteria target continentality — the robust signature the configuration
     exists to produce. A full orbit is accumulated as four consecutive
@@ -714,6 +719,11 @@ def gate_realistic(days, results, resolution="T42", levels=None,
             land_h_capacity_prefactor=0.1,
             albedo_value=0.25, land_albedo_prefactor=1.3),
     )
+    if radiation == "rrtm":
+        from isca_tpu.physics.rrtm_radiation import RRTMConfig
+        phys = dataclasses.replace(
+            phys, radiation_scheme="rrtm", dt_rad=3600.0,
+            rrtm=RRTMConfig(do_seasonal=True))
     if orbit_days_override is not None:  # fast smoke-test orbits
         phys = dataclasses.replace(
             phys, constants=dataclasses.replace(
@@ -725,6 +735,17 @@ def gate_realistic(days, results, resolution="T42", levels=None,
     model = GreyMoistModel(dataclasses.replace(cfg, core=core, physics=phys))
     lats = np.degrees(np.asarray(model.core.T.lats))
     lons = np.degrees(np.asarray(model.core.T.lons))
+    if radiation == "rrtm":
+        # the reference's own ozone climatology when its tree is present
+        # (realistic_continents namelist_basefile.nml rrtm_radiation_nml)
+        o3_path = "/root/reference/input/rrtm_input_files/ozone_1990.nc"
+        if os.path.exists(o3_path):
+            from isca_tpu.utils.time_interp import load_pressure_climatology
+            model.physics.o3_series = load_pressure_climatology(
+                o3_path, "ozone_1990", lats, lons)
+            print("  ozone: reference ozone_1990.nc climatology")
+        else:
+            print("  ozone: constant fallback (reference input not found)")
     land, topo = generate_land(lats, lons, "continents",
                                topo_mode="sauliere2012")
     # surface HEIGHT in meters (set_land multiplies by grav itself), and
@@ -761,26 +782,29 @@ def gate_realistic(days, results, resolution="T42", levels=None,
 
     def accumulate(state, nsteps):
         def chunk(carry):
-            st, acc_ts, acc_u = carry
+            st, acc_ts, acc_u, acc_olr = carry
 
             def body(c2, _):
-                s2, a_ts, a_u = c2
+                s2, a_ts, a_u, a_olr = c2
                 s2 = model.step(s2, first=False)
                 return (s2, a_ts + s2.t_surf,
-                        a_u + s2.dyn.ug.curr.mean(axis=-1)), None
+                        a_u + s2.dyn.ug.curr.mean(axis=-1),
+                        a_olr + s2.rad_cache.olr), None
 
             return jax.lax.scan(body, carry, None, length=CH)[0]
 
         cj = jax.jit(chunk)
         acc_ts = jnp.zeros_like(state.t_surf)
         acc_u = jnp.zeros(state.dyn.ug.curr.shape[:-1], state.dyn.ug.curr.dtype)
-        carry = (state, acc_ts, acc_u)
+        acc_olr = jnp.zeros_like(state.rad_cache.olr)
+        carry = (state, acc_ts, acc_u, acc_olr)
         n = max(nsteps // CH, 1)
         for _ in range(n):
             carry = cj(carry)
-        state, acc_ts, acc_u = jax.block_until_ready(carry)
+        state, acc_ts, acc_u, acc_olr = jax.block_until_ready(carry)
         return state, (np.asarray(acc_ts, np.float64) / (n * CH),
-                       np.asarray(acc_u, np.float64) / (n * CH))
+                       np.asarray(acc_u, np.float64) / (n * CH),
+                       np.asarray(acc_olr, np.float64) / (n * CH))
 
     t0 = time.time()
     state = model.initial_state()
@@ -804,11 +828,11 @@ def gate_realistic(days, results, resolution="T42", levels=None,
     ocean_pts = (~landm) & band
 
     # NH winter = window with coldest NH midlatitude land; summer = +half orbit
-    land_means = [float(ts[land_pts].mean()) for ts, _ in windows]
+    land_means = [float(ts[land_pts].mean()) for ts, _, _ in windows]
     iw = int(np.argmin(land_means))
     isummer = (iw + 2) % 4
-    ts_w, u_w = windows[iw]
-    ts_s, u_s = windows[isummer]
+    ts_w, u_w, olr_w = windows[iw]
+    ts_s, u_s, olr_s = windows[isummer]
     print(f"  window NH-land means {['%.1f' % m for m in land_means]} K "
           f"-> winter=window {iw}", flush=True)
 
@@ -828,9 +852,20 @@ def gate_realistic(days, results, resolution="T42", levels=None,
     bcheck("realistic_winter_jet_stronger", jet_w / max(jet_s, 1e-6),
            1.02, 10.0,
            f"NH jet winter {jet_w:.1f} vs summer {jet_s:.1f} m/s", results)
-    for nm, (ts, _) in (("winter", windows[iw]), ("summer", windows[isummer])):
+    for nm, (ts, _, _) in (("winter", windows[iw]),
+                           ("summer", windows[isummer])):
         bcheck(f"realistic_tsurf_range_{nm}", float(ts.mean()), 260.0, 310.0,
                f"global-mean t_surf {nm} window: {ts.mean():.1f} K", results)
+    if radiation == "rrtm":
+        # RRTM-specific check: annual-mean area-weighted OLR in the
+        # observed Earth range (~ERBE/CERES 230-250 W/m2; generous bounds
+        # for an idealized continent layout and synthetic-LW tables)
+        w = np.cos(np.radians(lats))[:, None]
+        olr_ann = 0.5 * (olr_w + olr_s)
+        olr_mean = float((olr_ann * w).sum() / (w.sum() * olr_ann.shape[1]))
+        bcheck("realistic_olr", olr_mean, 200.0, 290.0,
+               f"annual-mean OLR {olr_mean:.0f} W/m2 (radiation=rrtm, "
+               "obs ~240)", results)
 
 
 def merge_artifacts(paths, out):
@@ -892,6 +927,10 @@ def main():
                         "spinup across sessions (e.g. "
                         ".gate_cache/giant_T213.npz); resumed if present, "
                         "checkpointed each spinup quarter")
+    p.add_argument("--realistic-radiation", default="rrtm",
+                   choices=["rrtm", "grey"],
+                   help="radiation for the realistic-continents gate (the "
+                        "reference case runs RRTM)")
     p.add_argument("--mima-cache", default="",
                    help="state-cache npz for chaining the MiMA spinup across "
                         "sessions (e.g. .gate_cache/mima_T42.npz)")
@@ -925,8 +964,9 @@ def main():
                                      resolution=args.giant_resolution,
                                      cache=args.giant_cache or None,
                                      deadline=deadline)),
-        ("realistic", lambda: gate_realistic(max(args.days // 2, 300),
-                                             results)),
+        ("realistic", lambda: gate_realistic(
+            max(args.days // 2, 300), results,
+            radiation=args.realistic_radiation)),
         ("mima", lambda: gate_mima(max(args.days // 2, 100), results,
                                    cache=args.mima_cache or None,
                                    deadline=deadline)),
