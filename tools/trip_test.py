@@ -269,7 +269,19 @@ def build_frierson_fullres():
     return GreyMoistModel(cfg)
 
 
-SLOW_CONFIGS = {"frierson_fullres": build_frierson_fullres}
+def build_held_suarez_fullres():
+    """Held-Suarez at the reference's default production shape: T85L25,
+    dt=600 s (held_suarez_test_case.py:48-51 runs the default resolution
+    exp at T85; the bench configuration matches this shape)."""
+    from isca_tpu.dycore.primitive import PrimitiveConfig
+    from isca_tpu.models.dry import HeldSuarezConfig, HeldSuarezModel
+    core = PrimitiveConfig(resolution="T85", num_levels=25, dt=600.0,
+                           dtype=DTYPE)
+    return HeldSuarezModel(HeldSuarezConfig(core=core))
+
+
+SLOW_CONFIGS = {"frierson_fullres": build_frierson_fullres,
+                "held_suarez_fullres": build_held_suarez_fullres}
 SLOW_DAYS = 3.0
 SLOW_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "..", "tests",
                                 "goldens", "trip_goldens_slow.json")
