@@ -908,6 +908,7 @@ def merge_artifacts(paths, out):
                 "platform": art.get("platform"),
                 "device_kind": art.get("device_kind"),
                 "days_arg": art.get("days_arg"),
+                "precision": art.get("precision"),
                 "wall_seconds": art.get("wall_seconds"),
             })
     merged["passed"] = sum(r["pass"] for r in merged["criteria"].values())
