@@ -611,9 +611,10 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
     at 1.44M model-days/day. A T85L30 run reached 9,400 spinup days with the
     same pre-superrotation state before the session budget cut it off. The
     reference's own test case integrates 3,600 days at T213L30 — the
-    resolution at which the mechanism actually operates — which at current
-    throughput (~40k md/d at T213) is a ~2h chip run: the round-4 path to
-    an honestly PASSING gate. The criteria below are intentionally kept at
+    resolution at which the mechanism actually operates. MEASURED round 4
+    (PROFILE.json giant_t213): 30.4k model-days/day sustained on the chip
+    (step 59.2 ms), so the 3,600-day spinup + averaging is ~4 h of chip,
+    chained across sessions through the state cache. The criteria below are intentionally kept at
     SL09 magnitudes; the committed artifact records the honest FAILs at
     reduced resolution rather than bounds tuned to pass a state that does
     not superrotate.
