@@ -788,11 +788,21 @@ def gate_realistic(days, results, resolution="T42", levels=None,
     run_chunk = jax.jit(lambda s: model.run(s, CH, first=False))
 
     def run_n(state, nsteps, first=False):
+        t0, last = time.time(), time.time()
         if first:
             state = run_first(state)
             nsteps -= CH
+        done = CH if first else 0
         for _ in range(max(nsteps // CH, 0)):
             state = run_chunk(state)
+            # sync + heartbeat: keeps host counters honest under async
+            # dispatch and feeds the stall watchdog (tools/run_watchdog.py)
+            state = jax.block_until_ready(state)
+            done += CH
+            if time.time() - last > 120:
+                print(f"  ... step {done} ({(time.time() - t0):.0f}s)",
+                      flush=True)
+                last = time.time()
         return jax.block_until_ready(state)
 
     def accumulate(state, nsteps):
