@@ -499,7 +499,7 @@ def make_synthetic_kg(seed=0, version=4):
                     # indices above the 95.6 hPa boundary), and the plateau
                     # rises a decade (real band-center k is 1e3-1e4 cm2/g).
                     co2band = version >= 4 and band in (3, 4, 5)
-                    plateau = 2.15 if co2band else 1.3
+                    plateau = 1.5 if co2band else 1.3
                     if version >= 4 and band in (1, 2):
                         # v4: the H2O rotation/continuum bands must go
                         # optically quiet IMMEDIATELY above the 95.6 hPa
@@ -516,11 +516,21 @@ def make_synthetic_kg(seed=0, version=4):
                             np.linspace(-2.5, plateau, k2 - k1),
                             np.full(npz_ - k2, plateau)])
                     elif co2band:
-                        k2 = int(0.38 * npz_)
+                        # full band strength by ~3 hPa (stratopause cooling),
+                        # then an NLTE-motivated taper above ~0.3 hPa: LTE
+                        # breaks down above ~70 km and real 15um cooling is
+                        # -5..-15 K/day there, NOT the -30..-95 K/day an
+                        # un-tapered LTE plateau produces (measured on the
+                        # deep fixed-profile column; the un-tapered v4
+                        # tables NaN'd the MiMA GCM, whose model top at
+                        # scale_heights=11 is ~0.002 hPa)
+                        k2 = int(0.45 * npz_)
+                        k3 = int(0.55 * npz_)
                         pvar = np.concatenate([
                             np.linspace(0.5, -1.0, k1),
                             np.linspace(-1.0, plateau, k2 - k1),
-                            np.full(npz_ - k2, plateau)])
+                            np.full(k3 - k2, plateau),
+                            np.linspace(plateau, -1.0, npz_ - k3)])
                     else:
                         pvar = np.concatenate([
                             np.linspace(0.5, -2.0, k1),
