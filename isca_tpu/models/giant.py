@@ -36,6 +36,7 @@ JUPITER = Constants(
 
 def giant_planet_model(
     resolution="T42", num_levels=30, dt=1800.0, dtype=None, cutoff_wn=15,
+    transform_precision="highest",
 ) -> GreyMoistModel:
     """Build the giant-planet model (reduced resolution by default; the
     reference test case runs T213L30 with dt=1800).
@@ -66,6 +67,7 @@ def giant_planet_model(
         do_water_correction=False,
         constants=JUPITER,
         dtype=dtype or jnp.float32,
+        transform_precision=transform_precision,
     )
     physics = MoistPhysicsConfig(
         convection_scheme="DRY",

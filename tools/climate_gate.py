@@ -596,7 +596,7 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
 
 
 def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
-               avg_days=None):
+               avg_days=None, precision="highest"):
     """Giant planet (Schneider & Liu 2009, JAS): equatorial superrotation and
     multiple alternating off-equator jets.
 
@@ -627,8 +627,14 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
     # bitwise check; at T42 it would damp most of the jet-forming eddies)
     trunc = int(str(resolution).lstrip("T"))
     cutoff = max(int(round(100 * trunc / 213)), 8)
+    # transform_precision: at T213 the step is Legendre-einsum dominated, so
+    # the MXU bf16_3x mode ("high", climate-validated 14/14 on HS and
+    # Frierson, PRECISION_GATE.json) buys a large fraction more banked
+    # spinup days per chip-minute. Recorded in the cache fingerprint —
+    # a chain integrates under ONE precision end to end.
     model = giant_planet_model(resolution=resolution, num_levels=30,
-                               cutoff_wn=cutoff)
+                               cutoff_wn=cutoff,
+                               transform_precision=precision)
     state = model.initial_state()
     spd = int(86400 / model.core.config.dt)
     spin = (days * 3 // 4) * spd
@@ -640,6 +646,10 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
     fingerprint = {"config": "giant", "resolution": str(resolution),
                    "num_levels": 30, "cutoff_wn": cutoff,
                    "dt": float(model.core.config.dt)}
+    if precision != "highest":
+        # only stamped when non-default so pre-existing "highest" caches
+        # (written before this field existed) still fingerprint-match
+        fingerprint["transform_precision"] = precision
 
     def fields(st):
         return {"u": st.dyn.ug.curr.mean(axis=-1),
@@ -956,6 +966,9 @@ def main():
     p.add_argument("--giant-avg-days", type=int, default=0,
                    help="override the giant-planet averaging window "
                         "(days); 0 = default quarter of the run")
+    p.add_argument("--giant-precision", default="highest",
+                   help="transform_precision for the giant gate (goes into "
+                        "the cache fingerprint: one chain = one precision)")
     p.add_argument("--realistic-radiation", default="rrtm",
                    choices=["rrtm", "grey"],
                    help="radiation for the realistic-continents gate (the "
@@ -995,7 +1008,8 @@ def main():
                                      resolution=args.giant_resolution,
                                      cache=args.giant_cache or None,
                                      deadline=deadline,
-                                     avg_days=args.giant_avg_days or None)),
+                                     avg_days=args.giant_avg_days or None,
+                                     precision=args.giant_precision)),
         ("realistic", lambda: gate_realistic(
             max(args.days // 2, 300), results,
             radiation=args.realistic_radiation)),
