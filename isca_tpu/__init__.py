@@ -19,9 +19,18 @@ if not _os.environ.get("ISCA_TPU_NO_COMPILE_CACHE"):
     try:
         import jax as _jax
 
-        _cache_dir = _os.environ.get(
-            "ISCA_TPU_COMPILE_CACHE",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "isca_tpu_xla"))
+        # Default location: a source checkout keeps the cache INSIDE the repo
+        # (exp/xla_cache) so it can be committed and survive ephemeral build
+        # machines — a cold T213L30 compile is >7 min, a warm one ~40 s.
+        # Installed-package (no exp/ sibling) falls back to ~/.cache.
+        _repo_cache = _os.path.join(
+            _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+            "exp", "xla_cache")
+        _default = (_repo_cache
+                    if _os.path.isdir(_os.path.dirname(_repo_cache))
+                    else _os.path.join(_os.path.expanduser("~"), ".cache",
+                                       "isca_tpu_xla"))
+        _cache_dir = _os.environ.get("ISCA_TPU_COMPILE_CACHE", _default)
         _jax.config.update("jax_compilation_cache_dir", _cache_dir)
         _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:  # pragma: no cover - cache is best-effort
