@@ -76,6 +76,31 @@ def test_gate_cache_fingerprint_mismatch(tmp_path):
         _load_state_cache(path, small, FP)
 
 
+def test_gate_cache_compressed_resume(tmp_path):
+    """End-of-session recompression (docs/testing.md): a cache re-saved with
+    np.savez_compressed for git must load bit-identically and keep the
+    precision-pinned fingerprint. This is the cross-session survival path —
+    only committed (hence compressed) caches outlive a build machine."""
+    m = giant_planet_model(resolution="T21", num_levels=6,
+                           transform_precision="high")
+    fp = dict(FP, transform_precision="high")
+    raw = str(tmp_path / "giant.npz")
+    comp = str(tmp_path / "giant_comp.npz")
+    s1 = jax.jit(lambda x: m.run(x, 2, first=True))(m.initial_state())
+    _save_state_cache(raw, s1, 123, fp)
+    with np.load(raw, allow_pickle=False) as d:
+        np.savez_compressed(comp, **{k: d[k] for k in d.files})
+    s1r, steps, _, _ = _load_state_cache(comp, m.initial_state(), fp)
+    assert steps == 123
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s1r)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # a chain started at "high" must refuse to resume at "highest" (and
+    # vice versa: the no-key legacy form != the pinned form)
+    with pytest.raises(ValueError, match="fingerprint mismatch"):
+        _load_state_cache(comp, m.initial_state(), FP)
+
+
 def test_chained_run_matches_uninterrupted(tmp_path):
     """A wall-budget kill mid-chain + resume == one uninterrupted run."""
     m = giant_planet_model(resolution="T21", num_levels=6)
