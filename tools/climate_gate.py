@@ -539,6 +539,7 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
               flush=True)
         last_rate = [time.time(), steps]
         checkpoint_maybe("spinup")
+    second_chunk_t = time.time() if steps else None
     while steps < spin_steps:
         state = run_chunk(state)
         steps += CH
@@ -550,6 +551,18 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
         # run: 22 min of silence, nothing banked). One tunnel round-trip
         # per 256-step chunk is noise next to the chunk's compute.
         state = jax.block_until_ready(state)
+        if second_chunk_t is None:
+            second_chunk_t = time.time()
+        elif second_chunk_t > 0:
+            # the run-variant (first=False) jit compiles inside the FIRST
+            # while-iteration, so the first steps/s print can understate the
+            # steady rate by >10x — log the compile-bearing chunk explicitly
+            # (a healthy MiMA run was once killed for "1.2 steps/s" that was
+            # actually this compile window)
+            print(f"  run-variant chunk (incl. compile on a fresh process): "
+                  f"{time.time() - second_chunk_t:.0f}s", flush=True)
+            last_rate = [time.time(), steps]
+            second_chunk_t = -1.0
         if time.time() - last_rate[0] > 120:
             log_rate("spinup")
         checkpoint_maybe("spinup")
