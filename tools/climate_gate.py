@@ -974,7 +974,9 @@ def main():
     p.add_argument("--giant-cache", default="",
                    help="state-cache npz for chaining the giant-planet "
                         "spinup across sessions (e.g. "
-                        ".gate_cache/giant_T213.npz); resumed if present, "
+                        "exp/gate_cache/giant_T213.npz — a git-tracked "
+                        "path that survives ephemeral build machines); "
+                        "resumed if present, "
                         "checkpointed each spinup quarter")
     p.add_argument("--giant-avg-days", type=int, default=0,
                    help="override the giant-planet averaging window "
@@ -988,7 +990,7 @@ def main():
                         "reference case runs RRTM)")
     p.add_argument("--mima-cache", default="",
                    help="state-cache npz for chaining the MiMA spinup across "
-                        "sessions (e.g. .gate_cache/mima_T42.npz)")
+                        "sessions (e.g. exp/gate_cache/mima_T42.npz)")
     p.add_argument("--precision", default="highest",
                    help="transform_precision for the hs AND frierson gates "
                         "(gate 'high' before promoting it beyond the bench "
