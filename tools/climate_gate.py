@@ -82,24 +82,93 @@ def zonal_time_mean(model, state, nsteps_spinup, nsteps_avg, accum_fields):
     )
 
 
+# ---------------------------------------------------------------------------
+# Criterion bounds registry — the SINGLE source of truth for every gate bound.
+#
+# Round-4 verdict: the committed artifact mixed entries judged under
+# superseded bounds with entries judged under current ones, invisibly. Every
+# bound now lives HERE; bcheck() looks its bounds up by criterion name, each
+# artifact record is stamped with bounds_version() (a hash of this registry),
+# and tests/test_gate_merge.py::test_artifact_bounds_match_code asserts the
+# committed CLIMATE_GATE.json agrees with the code — so a future bounds
+# change visibly invalidates stale entries instead of silently coexisting.
+#
+# [lo, hi] with None for an open side. Compound criteria (checked via
+# check(), not bcheck()) store their named sub-thresholds as dicts so the
+# version hash still covers them.
+BOUNDS = {
+    # Held & Suarez 1994 (BAMS)
+    "hs_jet_strength": [25.0, 40.0],          # NH jet max, m/s (~30)
+    "hs_jet_latitude": [35.0, 55.0],          # deg (40-50)
+    "hs_jet_height": [None, 0.45],            # sigma of jet max (~0.25)
+    "hs_tropical_easterlies": [None, 5.0],    # upper tropical u, m/s
+    "hs_surface_westerlies": [0.0, None],     # midlat sfc u, m/s
+    "hs_trade_easterlies": [None, 0.0],       # tropical sfc u, m/s
+    "hs_tropopause_temp": [180.0, 215.0],     # tropical T min, K (~200)
+    "hs_meridional_contrast": [15.0, 70.0],   # sfc eq-pole dT, K (delh=60)
+    # Frierson et al. 2006 (JAS) grey aquaplanet
+    "fr_tropical_tsurf": [285.0, 310.0],      # K (~295-305)
+    "fr_pole_tsurf": [25.0, None],            # tropics-minus-pole t_surf, K
+    "fr_humidity_max_tropics": [None, 15.0],  # |lat| of sfc q max, deg
+    "fr_humidity_magnitude": [0.008, 0.03],   # sfc q max, kg/kg (~15-20 g/kg)
+    "fr_jet": {"strength": [20.0, 45.0], "latitude": [25.0, 55.0]},
+    "fr_surface_winds": {"midlat_u": [0.0, None], "tropical_u": [None, 0.0]},
+    # Schneider & Liu 2009 (JAS) giant planet
+    "gp_equatorial_superrotation": [10.0, 300.0],   # upper eq u, m/s
+    "gp_multiple_jets": [4.0, 1000.0],              # off-eq u sign flips
+    "gp_equator_dominates": {"eq_over_max_midlat": [0.5, None]},
+    "gp_hemispheric_symmetry": [0.2, 1.0],          # NH/SH jet correlation
+    # Jucker & Gerber 2017 (J. Climate) MiMA
+    "mima_coldpoint_temp": [180.0, 210.0],          # K (fig. 2: ~190-205)
+    "mima_coldpoint_pressure": [50.0, 160.0],       # hPa (obs ~100)
+    "mima_stratospheric_inversion": [2.0, 120.0],   # K above cold point
+    "mima_jet_strength": [20.0, 50.0],              # m/s
+    "mima_jet_latitude": [25.0, 55.0],              # deg
+    "mima_tropical_tsurf": [285.0, 310.0],          # K
+    "mima_humidity": [8.0, 30.0],                   # sfc q max, g/kg
+    # Realistic continents (reference test case; continentality signatures)
+    "realistic_land_seasonal_amplitude": [6.0, 80.0],    # K
+    "realistic_continentality_ratio": [1.4, 50.0],       # land/ocean amp
+    "realistic_winter_jet_stronger": [1.02, 10.0],       # winter/summer jet
+    "realistic_tsurf_range_winter": [260.0, 310.0],      # K
+    "realistic_tsurf_range_summer": [260.0, 310.0],      # K
+    "realistic_olr": [200.0, 290.0],                     # W/m2 (obs ~240)
+}
+
+
+def bounds_version():
+    """Short content hash of BOUNDS: stamped into every criterion record so
+    an artifact entry generated under superseded bounds is detectable."""
+    import hashlib
+    return hashlib.sha256(
+        json.dumps(BOUNDS, sort_keys=True).encode()).hexdigest()[:12]
+
+
 def check(name, cond, detail, results, value=None, bounds=None):
     """Record one criterion. value/bounds make the artifact auditable:
     every entry carries the measured number and the literature bound."""
     status = "PASS" if cond else "FAIL"
     print(f"[{status}] {name}: {detail}")
-    rec = {"pass": bool(cond), "detail": detail}
+    rec = {"pass": bool(cond), "detail": detail,
+           "bounds_version": bounds_version()}
     if value is not None:
         rec["value"] = float(value)
+    if bounds is None:
+        # compound criteria: record the registry's sub-threshold dict
+        bounds = BOUNDS.get(name)
     if bounds is not None:
-        rec["bounds"] = list(bounds)
+        rec["bounds"] = list(bounds) if not isinstance(bounds, dict) \
+            else bounds
     results[name] = rec
     return cond
 
 
-def bcheck(name, value, lo, hi, detail, results):
-    """Bounded criterion: lo <= value <= hi."""
-    return check(name, lo <= value <= hi, detail, results,
-                 value=value, bounds=(lo, hi))
+def bcheck(name, value, detail, results):
+    """Bounded criterion: BOUNDS[name][0] <= value <= BOUNDS[name][1]
+    (None = open side). Bounds come from the registry ONLY."""
+    lo, hi = BOUNDS[name]
+    cond = (lo is None or value >= lo) and (hi is None or value <= hi)
+    return check(name, cond, detail, results, value=value, bounds=(lo, hi))
 
 
 def gate_held_suarez(days, results, resolution="T85", precision="highest"):
@@ -136,35 +205,36 @@ def gate_held_suarez(days, results, resolution="T85", precision="highest"):
     ujet = u[:, nh].max()
     latjet = lats[nh][jjet]
     sigjet = sigma[kjet]
-    check("hs_jet_strength", 25.0 <= ujet <= 40.0,
-          f"NH jet {ujet:.1f} m/s (HS94 ~30)", results)
-    check("hs_jet_latitude", 35.0 <= latjet <= 55.0,
-          f"at {latjet:.1f} deg (HS94 40-50)", results)
-    check("hs_jet_height", sigjet <= 0.45,
-          f"at sigma={sigjet:.2f} (HS94 ~0.25)", results)
+    bcheck("hs_jet_strength", float(ujet),
+           f"NH jet {ujet:.1f} m/s (HS94 ~30)", results)
+    bcheck("hs_jet_latitude", float(latjet),
+           f"at {latjet:.1f} deg (HS94 40-50)", results)
+    bcheck("hs_jet_height", float(sigjet),
+           f"at sigma={sigjet:.2f} (HS94 ~0.25)", results)
 
     # tropical upper-level easterlies
     trop = np.abs(lats) < 10
     utrop_top = u[sigma < 0.3][:, trop].mean()
-    check("hs_tropical_easterlies", utrop_top < 5.0,
-          f"tropical u(sigma<0.3) mean {utrop_top:.1f} m/s (weak/easterly)", results)
+    bcheck("hs_tropical_easterlies", float(utrop_top),
+           f"tropical u(sigma<0.3) mean {utrop_top:.1f} m/s (weak/easterly)",
+           results)
 
     # surface westerlies in midlatitudes, easterlies in tropics (trade winds)
     usfc = u[-1]
     mid = (np.abs(lats) > 35) & (np.abs(lats) < 60)
-    check("hs_surface_westerlies", usfc[mid].mean() > 0.0,
-          f"midlat sfc u {usfc[mid].mean():.1f} m/s (>0)", results)
-    check("hs_trade_easterlies", usfc[trop].mean() < 0.0,
-          f"tropical sfc u {usfc[trop].mean():.1f} m/s (<0)", results)
+    bcheck("hs_surface_westerlies", float(usfc[mid].mean()),
+           f"midlat sfc u {usfc[mid].mean():.1f} m/s (>0)", results)
+    bcheck("hs_trade_easterlies", float(usfc[trop].mean()),
+           f"tropical sfc u {usfc[trop].mean():.1f} m/s (<0)", results)
 
     # temperature: tropopause ~ 200K minimum, no superrotation artifacts
     tmin = T[:, trop].min()
-    check("hs_tropopause_temp", 180.0 <= tmin <= 215.0,
-          f"tropical T min {tmin:.0f} K (HS94 ~200)", results)
+    bcheck("hs_tropopause_temp", float(tmin),
+           f"tropical T min {tmin:.0f} K (HS94 ~200)", results)
     # equator-pole surface temperature contrast roughly delh-driven
     dT = T[-1][trop].mean() - T[-1][np.abs(lats) > 75].mean()
-    check("hs_meridional_contrast", 15.0 <= dT <= 70.0,
-          f"sfc equator-pole dT {dT:.0f} K (forced by delh=60)", results)
+    bcheck("hs_meridional_contrast", float(dT),
+           f"sfc equator-pole dT {dT:.0f} K (forced by delh=60)", results)
 
 
 def gate_frierson(days, results, precision="highest"):
@@ -204,31 +274,39 @@ def gate_frierson(days, results, precision="highest"):
     trop = np.abs(lats) < 10
 
     # warm moist tropics
-    check("fr_tropical_tsurf", 285.0 <= ts[trop].mean() <= 310.0,
-          f"tropical t_surf {ts[trop].mean():.1f} K (Frierson ~295-305)", results)
-    check("fr_pole_tsurf", ts[np.abs(lats) > 70].mean() < ts[trop].mean() - 25.0,
-          f"polar t_surf {ts[np.abs(lats) > 70].mean():.1f} K (strong contrast)",
-          results)
+    bcheck("fr_tropical_tsurf", float(ts[trop].mean()),
+           f"tropical t_surf {ts[trop].mean():.1f} K (Frierson ~295-305)",
+           results)
+    # tropics-minus-pole surface contrast (registry: >= 25 K)
+    contrast = float(ts[trop].mean() - ts[np.abs(lats) > 70].mean())
+    bcheck("fr_pole_tsurf", contrast,
+           f"polar t_surf {ts[np.abs(lats) > 70].mean():.1f} K "
+           f"(tropics-pole contrast {contrast:.0f} K)", results)
     # boundary-layer specific humidity maximum at the equator
     qsfc = q[-1]
     qmaxlat = lats[np.argmax(qsfc)]
-    check("fr_humidity_max_tropics", abs(qmaxlat) < 15.0,
-          f"sfc q max at {qmaxlat:.0f} deg ({qsfc.max() * 1e3:.1f} g/kg)", results)
-    check("fr_humidity_magnitude", 0.008 <= qsfc.max() <= 0.03,
-          f"sfc q max {qsfc.max() * 1e3:.1f} g/kg (Frierson ~15-20)", results)
-    # subtropical/midlatitude jet
+    bcheck("fr_humidity_max_tropics", float(abs(qmaxlat)),
+           f"sfc q max at {qmaxlat:.0f} deg ({qsfc.max() * 1e3:.1f} g/kg)",
+           results)
+    bcheck("fr_humidity_magnitude", float(qsfc.max()),
+           f"sfc q max {qsfc.max() * 1e3:.1f} g/kg (Frierson ~15-20)", results)
+    # subtropical/midlatitude jet (compound: thresholds from BOUNDS["fr_jet"])
     nh = lats > 0
     kjet, jjet = np.unravel_index(np.argmax(u[:, nh]), u[:, nh].shape)
-    check("fr_jet", 20.0 <= u[:, nh].max() <= 45.0
-          and 25.0 <= lats[nh][jjet] <= 55.0,
+    fj = BOUNDS["fr_jet"]
+    check("fr_jet", fj["strength"][0] <= u[:, nh].max() <= fj["strength"][1]
+          and fj["latitude"][0] <= lats[nh][jjet] <= fj["latitude"][1],
           f"NH jet {u[:, nh].max():.1f} m/s at {lats[nh][jjet]:.0f} deg, "
           f"sigma={sigma[kjet]:.2f}", results)
-    # surface wind pattern
+    # surface wind pattern (compound: BOUNDS["fr_surface_winds"])
     usfc = u[-1]
     mid = (np.abs(lats) > 35) & (np.abs(lats) < 60)
-    check("fr_surface_winds", usfc[mid].mean() > 0 and usfc[trop].mean() < 0,
-          f"sfc u: midlat {usfc[mid].mean():.1f}, tropics {usfc[trop].mean():.1f} m/s",
-          results)
+    fw = BOUNDS["fr_surface_winds"]
+    check("fr_surface_winds",
+          usfc[mid].mean() > fw["midlat_u"][0]
+          and usfc[trop].mean() < fw["tropical_u"][1],
+          f"sfc u: midlat {usfc[mid].mean():.1f}, tropics "
+          f"{usfc[trop].mean():.1f} m/s", results)
 
 
 def gate_mima(days, results, resolution=None, cache=None, deadline=None):
@@ -347,23 +425,23 @@ def gate_mima(days, results, resolution=None, cache=None, deadline=None):
     # near 100 hPa)
     Ttrop = T[:, trop].mean(axis=1)
     kcp = int(np.argmin(Ttrop))
-    bcheck("mima_coldpoint_temp", float(Ttrop[kcp]), 180.0, 210.0,
+    bcheck("mima_coldpoint_temp", float(Ttrop[kcp]),
            f"tropical cold point {Ttrop[kcp]:.0f} K at {p_full[kcp]/100:.0f} hPa",
            results)
-    bcheck("mima_coldpoint_pressure", float(p_full[kcp] / 100.0), 50.0, 160.0,
+    bcheck("mima_coldpoint_pressure", float(p_full[kcp] / 100.0),
            f"cold point at {p_full[kcp]/100:.0f} hPa (obs ~100)", results)
     # stratosphere: temperature increases above the cold point (ozone
     # heating); JG17's observed inversion is ~60-70 K to the stratopause
     strat_warming = float(T[: max(kcp, 1), trop].mean(axis=1).max() - Ttrop[kcp])
-    bcheck("mima_stratospheric_inversion", strat_warming, 2.0, 120.0,
+    bcheck("mima_stratospheric_inversion", strat_warming,
            f"T rises {strat_warming:.0f} K above cold point", results)
     # subtropical jet
     nh = lats > 0
     kjet, jjet = np.unravel_index(np.argmax(u[:, nh]), u[:, nh].shape)
-    bcheck("mima_jet_strength", float(u[:, nh].max()), 20.0, 50.0,
+    bcheck("mima_jet_strength", float(u[:, nh].max()),
            f"NH jet {u[:, nh].max():.1f} m/s at {lats[nh][jjet]:.0f} deg",
            results)
-    bcheck("mima_jet_latitude", float(lats[nh][jjet]), 25.0, 55.0,
+    bcheck("mima_jet_latitude", float(lats[nh][jjet]),
            f"jet latitude {lats[nh][jjet]:.0f} deg", results)
     # warm moist tropics (100 m slab + RRTM: ~295-305 K). The 100 m slab
     # relaxes at ~0.015 K/day per W/m2 of TOA imbalance, so t_surf only
@@ -372,14 +450,14 @@ def gate_mima(days, results, resolution=None, cache=None, deadline=None):
     # shorter runs are flagged IC-dominated in the artifact so the PASS is
     # not read as model validation (advisor finding, round 3).
     ic_dominated = total_days < 700
-    bcheck("mima_tropical_tsurf", float(ts[trop].mean()), 285.0, 310.0,
+    bcheck("mima_tropical_tsurf", float(ts[trop].mean()),
            f"tropical t_surf {ts[trop].mean():.1f} K after "
            f"{total_days:.0f} accumulated days"
            + (" [IC-dominated: run too short for slab equilibrium]"
               if ic_dominated else ""), results)
     results["mima_tropical_tsurf"]["ic_dominated"] = bool(ic_dominated)
     results["mima_tropical_tsurf"]["accumulated_days"] = round(total_days, 1)
-    bcheck("mima_humidity", float(q[-1].max() * 1e3), 8.0, 30.0,
+    bcheck("mima_humidity", float(q[-1].max() * 1e3),
            f"sfc q max {q[-1].max()*1e3:.1f} g/kg", results)
 
 
@@ -539,8 +617,9 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
               flush=True)
         last_rate = [time.time(), steps]
         checkpoint_maybe("spinup")
-    second_chunk_t = time.time() if steps else None
+    logged_run_variant_compile = False
     while steps < spin_steps:
+        chunk_t0 = time.time()
         state = run_chunk(state)
         steps += CH
         # sync each chunk: JAX dispatch is asynchronous, and without this
@@ -551,18 +630,16 @@ def _chained_spin_and_average(model, state, accum_fields, spin_steps,
         # run: 22 min of silence, nothing banked). One tunnel round-trip
         # per 256-step chunk is noise next to the chunk's compute.
         state = jax.block_until_ready(state)
-        if second_chunk_t is None:
-            second_chunk_t = time.time()
-        elif second_chunk_t > 0:
+        if not logged_run_variant_compile:
             # the run-variant (first=False) jit compiles inside the FIRST
             # while-iteration, so the first steps/s print can understate the
             # steady rate by >10x — log the compile-bearing chunk explicitly
             # (a healthy MiMA run was once killed for "1.2 steps/s" that was
             # actually this compile window)
             print(f"  run-variant chunk (incl. compile on a fresh process): "
-                  f"{time.time() - second_chunk_t:.0f}s", flush=True)
+                  f"{time.time() - chunk_t0:.0f}s", flush=True)
             last_rate = [time.time(), steps]
-            second_chunk_t = -1.0
+            logged_run_variant_compile = True
         if time.time() - last_rate[0] > 120:
             log_rate("spinup")
         checkpoint_maybe("spinup")
@@ -694,7 +771,7 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
     utop = u[: L // 3].mean(axis=0)        # upper-troposphere zonal-mean u
     eq = np.abs(lats) < 8
 
-    bcheck("gp_equatorial_superrotation", float(utop[eq].mean()), 10.0, 300.0,
+    bcheck("gp_equatorial_superrotation", float(utop[eq].mean()),
            f"equatorial upper u {utop[eq].mean():.0f} m/s (SL09: strong "
            "prograde)", results)
     # off-equator alternating jet pattern: count sign changes poleward of 10deg
@@ -702,17 +779,20 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
     sh_off = utop[(lats < -10) & (lats > -80)]
     flips = int(np.sum(np.abs(np.diff(np.sign(nh_off))) > 0)
                 + np.sum(np.abs(np.diff(np.sign(sh_off))) > 0))
-    bcheck("gp_multiple_jets", float(flips), 4.0, 1000.0,
+    bcheck("gp_multiple_jets", float(flips),
            f"{flips} sign changes of off-equator zonal-mean u (alternating "
            "jets)", results)
     # equator dominates: superrotation exceeds the strongest midlat jet
+    # (compound threshold from BOUNDS["gp_equator_dominates"])
+    eq_ratio_min = BOUNDS["gp_equator_dominates"]["eq_over_max_midlat"][0]
     check("gp_equator_dominates",
-          float(utop[eq].mean()) > 0.5 * float(np.abs(nh_off).max() + 1e-9),
+          float(utop[eq].mean())
+          > eq_ratio_min * float(np.abs(nh_off).max() + 1e-9),
           f"eq {utop[eq].mean():.0f} m/s vs max |midlat| {np.abs(nh_off).max():.0f}",
           results, value=float(utop[eq].mean()))
     # hemispheric symmetry of the jet pattern (statistical, loose)
     corr = float(np.corrcoef(nh_off[: len(sh_off)], sh_off[::-1][: len(nh_off)])[0, 1])
-    bcheck("gp_hemispheric_symmetry", corr, 0.2, 1.0,
+    bcheck("gp_hemispheric_symmetry", corr,
            f"NH/SH jet-pattern correlation {corr:.2f}", results)
 
 
@@ -886,10 +966,10 @@ def gate_realistic(days, results, resolution="T42", levels=None,
 
     amp_land = float(np.abs(ts_w - ts_s)[land_pts].mean())
     amp_ocean = float(np.abs(ts_w - ts_s)[ocean_pts].mean())
-    bcheck("realistic_land_seasonal_amplitude", amp_land, 6.0, 80.0,
+    bcheck("realistic_land_seasonal_amplitude", amp_land,
            f"NH midlat land |winter-summer| t_surf {amp_land:.1f} K", results)
     bcheck("realistic_continentality_ratio",
-           amp_land / max(amp_ocean, 1e-6), 1.4, 50.0,
+           amp_land / max(amp_ocean, 1e-6),
            f"land/ocean seasonal amplitude ratio "
            f"{amp_land / max(amp_ocean, 1e-6):.2f} "
            f"(land {amp_land:.1f} K vs ocean {amp_ocean:.1f} K)", results)
@@ -898,11 +978,10 @@ def gate_realistic(days, results, resolution="T42", levels=None,
     jet_w = float(u_w[:, nh].max())
     jet_s = float(u_s[:, nh].max())
     bcheck("realistic_winter_jet_stronger", jet_w / max(jet_s, 1e-6),
-           1.02, 10.0,
            f"NH jet winter {jet_w:.1f} vs summer {jet_s:.1f} m/s", results)
     for nm, (ts, _, _) in (("winter", windows[iw]),
                            ("summer", windows[isummer])):
-        bcheck(f"realistic_tsurf_range_{nm}", float(ts.mean()), 260.0, 310.0,
+        bcheck(f"realistic_tsurf_range_{nm}", float(ts.mean()),
                f"global-mean t_surf {nm} window: {ts.mean():.1f} K", results)
     if radiation == "rrtm":
         # RRTM-specific check: annual-mean area-weighted OLR in the
@@ -911,7 +990,7 @@ def gate_realistic(days, results, resolution="T42", levels=None,
         w = np.cos(np.radians(lats))[:, None]
         olr_ann = 0.5 * (olr_w + olr_s)
         olr_mean = float((olr_ann * w).sum() / (w.sum() * olr_ann.shape[1]))
-        bcheck("realistic_olr", olr_mean, 200.0, 290.0,
+        bcheck("realistic_olr", olr_mean,
                f"annual-mean OLR {olr_mean:.0f} W/m2 (radiation=rrtm, "
                "obs ~240)", results)
 
@@ -947,6 +1026,12 @@ def merge_artifacts(paths, out):
             })
     merged["passed"] = sum(r["pass"] for r in merged["criteria"].values())
     merged["total"] = len(merged["criteria"])
+    # bounds provenance: the version every criterion was judged under, plus
+    # the code's current one — a mismatch means part of the artifact is stale
+    versions = sorted({r.get("bounds_version", "pre-v5")
+                       for r in merged["criteria"].values()})
+    merged["bounds_version"] = versions[0] if len(versions) == 1 else versions
+    merged["bounds_version_code"] = bounds_version()
     merged["date"] = time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())
     merged["platform"] = merged["runs"][0]["platform"] if merged["runs"] else None
     merged["device_kind"] = merged["runs"][0]["device_kind"] if merged["runs"] else None
@@ -1043,6 +1128,7 @@ def main():
             "device_kind": dev.device_kind,
             "days_arg": args.days,
             "precision": args.precision,
+            "bounds_version": bounds_version(),
             "configs_run": list(done),
             "wall_seconds": round(time.time() - t0, 1),
             "passed": npass,

