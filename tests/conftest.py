@@ -10,6 +10,13 @@ jax.config *after* import reliably selects the local in-process CPU backend.
 """
 
 import os
+import tempfile
+
+# CPU-compiled cache entries are machine-specific and must not litter the
+# git-tracked exp/xla_cache (reserved for curated TPU program entries);
+# redirect the persistent compile cache for every test run.
+os.environ.setdefault("ISCA_TPU_COMPILE_CACHE",
+                      tempfile.mkdtemp(prefix="isca_test_xla_"))
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
