@@ -1009,6 +1009,8 @@ def merge_artifacts(paths, out):
         merged["configs_run"].extend(
             c for c in art.get("configs_run", [])
             if c not in merged["configs_run"])
+        merged.setdefault("transform_precision", {}).update(
+            art.get("transform_precision", {}))
         merged["wall_seconds"] += art.get("wall_seconds", 0.0)
         if art.get("runs"):
             # already-merged artifact: carry its per-config provenance through
@@ -1022,6 +1024,7 @@ def merge_artifacts(paths, out):
                 "device_kind": art.get("device_kind"),
                 "days_arg": art.get("days_arg"),
                 "precision": art.get("precision"),
+                "transform_precision": art.get("transform_precision"),
                 "wall_seconds": art.get("wall_seconds"),
             })
     merged["passed"] = sum(r["pass"] for r in merged["criteria"].values())
@@ -1128,6 +1131,16 @@ def main():
             "device_kind": dev.device_kind,
             "days_arg": args.days,
             "precision": args.precision,
+            # per-config transform_precision provenance: "high" is only
+            # climate-validated for configs that appear here (or in
+            # PRECISION_GATE.json) with passing criteria — round-4 verdict
+            # weak #3 (the giant chain integrates at --giant-precision,
+            # which args.precision does not cover)
+            "transform_precision": {
+                c: (args.giant_precision if c == "giant"
+                    else "highest" if c in ("mima", "realistic")
+                    else args.precision)
+                for c in done},
             "bounds_version": bounds_version(),
             "configs_run": list(done),
             "wall_seconds": round(time.time() - t0, 1),

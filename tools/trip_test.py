@@ -280,8 +280,38 @@ def build_held_suarez_fullres():
     return HeldSuarezModel(HeldSuarezConfig(core=core))
 
 
+def build_giant_fullres():
+    """Giant planet at T85L30 (the chip-budget reduction of the reference's
+    T213L30 giant_planet_test_case.py shape): Jupiter constants, dry
+    convection, S&L09 grey radiation, gp lower boundary — the full-res
+    regression net's non-Earth entry (round-4 verdict item 8). cutoff_wn
+    scales from the reference's T213 value like the climate gate does."""
+    from isca_tpu.models.giant import giant_planet_model
+    return giant_planet_model(resolution="T85", num_levels=30,
+                              cutoff_wn=max(int(round(100 * 85 / 213)), 8),
+                              dtype=DTYPE)
+
+
+def build_mima_fullres():
+    """MiMA at the reference namelist shape (T42, reference level count,
+    RRTMG SW+LW with dt_rad substepping) — the full-res regression net's
+    RRTM entry. Built through the same namelist-ingestion path as the
+    climate gate (exp/namelists/mima.nml)."""
+    import warnings
+
+    from tools.from_namelist import model_from_namelist, parse_namelist
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "..", "exp", "namelists", "mima.nml")) as fh:
+        nml = parse_namelist(fh.read())
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # synthetic LW tables
+        return model_from_namelist(nml, dtype=DTYPE)
+
+
 SLOW_CONFIGS = {"frierson_fullres": build_frierson_fullres,
-                "held_suarez_fullres": build_held_suarez_fullres}
+                "held_suarez_fullres": build_held_suarez_fullres,
+                "giant_fullres": build_giant_fullres,
+                "mima_fullres": build_mima_fullres}
 SLOW_DAYS = 3.0
 SLOW_GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "..", "tests",
                                 "goldens", "trip_goldens_slow.json")
