@@ -35,3 +35,21 @@ def test_fast_configs_match_goldens():
         got = trip_test.run_config(name)
         failures += trip_test.compare(name, got, goldens[name])
     assert not failures, "\n".join(failures)
+
+
+def test_slow_tier_goldens_cover_all_slow_configs():
+    """The weekly/manual slow tier (full test-case resolution) must have a
+    committed golden for every SLOW_CONFIGS entry — including the round-5
+    additions (giant T85L30, MiMA at the reference namelist shape) — so
+    `tools/trip_test.py --slow` is a complete regression net, not a
+    partially-recorded one."""
+    sys.path.insert(0, REPO)
+    from tools import trip_test
+
+    slow_path = os.path.join(REPO, "tests", "goldens",
+                             "trip_goldens_slow.json")
+    assert os.path.exists(slow_path), "slow-tier goldens missing"
+    with open(slow_path) as f:
+        goldens = json.load(f)
+    missing = sorted(set(trip_test.SLOW_CONFIGS) - set(goldens))
+    assert not missing, f"slow goldens missing for {missing}"
