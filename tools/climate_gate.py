@@ -797,7 +797,8 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
 
 
 def gate_realistic(days, results, resolution="T42", levels=None,
-                   orbit_days_override=None, radiation="rrtm"):
+                   orbit_days_override=None, radiation="rrtm",
+                   spin_orbits=None):
     """Realistic continents with a seasonal cycle (the reference
     exp/test_cases/realistic_continents capability: continental outlines +
     Sauliere 2012 topography + bucket hydrology + seasonal insolation +
@@ -884,6 +885,14 @@ def gate_realistic(days, results, resolution="T42", levels=None,
     # spinup to k*orbit - window/2, at least ~1.5 orbits for the 20 m slab
     want_spin_days = max(days, int(1.5 * orbit_days))
     k = max(int(round((want_spin_days + orbit_days / 8.0) / orbit_days)), 2)
+    if spin_orbits:
+        # explicit session-budget override (recorded in the artifact): the
+        # dominant criteria are LAND-driven (2 m effective land slab
+        # equilibrates in days; the 20 m ocean slab's e-folding is ~240
+        # days, so k=1 starts the windows at 1.3 ocean relaxation times —
+        # under-equilibrated ocean biases absolute t_surf/OLR, which the
+        # generous bounds absorb, not the land/ocean CONTRAST criteria)
+        k = max(int(spin_orbits), 1)
     spin = max(int(round(k * orbit_days * spd - window / 2.0)), 2 * spd)
 
     CH = 240 if window >= 240 else max(window // 2, 1)
@@ -1076,6 +1085,11 @@ def main():
                    choices=["rrtm", "grey"],
                    help="radiation for the realistic-continents gate (the "
                         "reference case runs RRTM)")
+    p.add_argument("--realistic-spin-orbits", type=int, default=0,
+                   help="override the realistic gate's spinup length to this "
+                        "many orbits before the four averaging windows "
+                        "(default 0 = derived from --days, floor 2; 1 is the "
+                        "session-budget minimum — see gate_realistic)")
     p.add_argument("--mima-cache", default="",
                    help="state-cache npz for chaining the MiMA spinup across "
                         "sessions (e.g. exp/gate_cache/mima_T42.npz)")
@@ -1115,7 +1129,8 @@ def main():
                                      precision=args.giant_precision)),
         ("realistic", lambda: gate_realistic(
             max(args.days // 2, 300), results,
-            radiation=args.realistic_radiation)),
+            radiation=args.realistic_radiation,
+            spin_orbits=args.realistic_spin_orbits or None)),
         ("mima", lambda: gate_mima(max(args.days // 2, 100), results,
                                    cache=args.mima_cache or None,
                                    deadline=deadline)),
@@ -1130,6 +1145,8 @@ def main():
             "platform": dev.platform,
             "device_kind": dev.device_kind,
             "days_arg": args.days,
+            **({"realistic_spin_orbits": args.realistic_spin_orbits}
+               if args.realistic_spin_orbits and "realistic" in done else {}),
             "precision": args.precision,
             # per-config transform_precision provenance: "high" is only
             # climate-validated for configs that appear here (or in
