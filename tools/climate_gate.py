@@ -839,10 +839,13 @@ def gate_realistic(days, results, resolution="T42", levels=None,
             albedo_value=0.25, land_albedo_prefactor=1.3),
     )
     if radiation == "rrtm":
+        # the reference case's own radiation settings
+        # (realistic_continents/namelist_basefile.nml rrtm_radiation_nml:
+        # dt_rad=4320 = 6*dt, solr_cnst=1360)
         from isca_tpu.physics.rrtm_radiation import RRTMConfig
         phys = dataclasses.replace(
-            phys, radiation_scheme="rrtm", dt_rad=3600.0,
-            rrtm=RRTMConfig(do_seasonal=True))
+            phys, radiation_scheme="rrtm", dt_rad=4320.0,
+            rrtm=RRTMConfig(do_seasonal=True, solr_cnst=1360.0))
     if orbit_days_override is not None:  # fast smoke-test orbits
         phys = dataclasses.replace(
             phys, constants=dataclasses.replace(
