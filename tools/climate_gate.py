@@ -708,6 +708,26 @@ def gate_giant(days, results, resolution="T42", cache=None, deadline=None,
     SL09 magnitudes; the committed artifact records the honest FAILs at
     reduced resolution rather than bounds tuned to pass a state that does
     not superrotate.
+
+    ROUND-5 MEASURED (the full reference-length chain: T213L30 to 3,605
+    days at diabatic_acce=1.0, 900-day averaging window; trajectory
+    committed as CLIMATE_GATE.json["gp_spinup_trajectory"]): resolution was
+    necessary but 3,600 days is not sufficient. The circulation stays an
+    order of magnitude below SL09 amplitudes — 16 weak alternating jets
+    (max zonal-mean |u| ~14 m/s, pattern correlation 0.84 across
+    hemispheres: both PASS) with the upper-equatorial wind OSCILLATING in
+    [-5, +1] m/s, QBO-like, no superrotating trend. This is thermal
+    inertia, not dynamics: at p_s = 3 bar, C = cp*p_s/g ~ 1.5e8 J/K/m^2
+    against dF/dT = 4*sigma*T^3 ~ 0.4 W/m^2/K at 120 K gives tau_rad ~
+    4,000+ days, so the case's own 3,600-day length is ~1 radiative
+    e-fold — the SL09 equilibrium cannot be reached at acce=1 regardless
+    of chip speed. The reference exposes an acceleration knob for exactly
+    this (giant_planet_test_case.py:132: diabatic_acce, "artificially
+    accelerate the diabatic processes during spinup"), fully plumbed here
+    (TwoStreamConfig.diabatic_acce + GiantPlanetConfig.diabatic_acce); a
+    staged protocol (acce >> 1 spinup chained to an acce=1 averaging
+    chain, two cache fingerprints) is the route to SL09 magnitudes within
+    a bounded chip budget.
     """
     from isca_tpu.models.giant import giant_planet_model
 
